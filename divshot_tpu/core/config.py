@@ -1,0 +1,230 @@
+"""Training / rendering configuration.
+
+One dataclass tree mirroring the semantics of the reference's
+``GaussianTrainConfig`` (complete field inventory from
+``diverseshot-cli/source/main.cpp:12-70``, ``gs_train.cpp:31-103`` and the
+editor dialog ``editor.cpp:1657-2059``), including the dataset-size
+auto-tuning heuristics (``editor.cpp:1990-2018``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from dataclasses import dataclass, field
+from typing import Any
+
+
+class DensifyStrategy:
+    ADC = 0        # classic adaptive density control (gaussian-splatting)
+    MCMC = 1       # 3DGS-as-MCMC relocation + noise
+    ADC_PLUS = 2   # ADC with revised-opacity + abs-grad refinements
+
+
+class ModelType:
+    GS3D = 0
+    GS2D = 1
+
+
+class PruneStrategy:
+    REDUCE = 0
+    LIGHT = 1
+
+
+@dataclass
+class OptimConfig:
+    """Per-group learning rates — defaults from ``main.cpp:31`` /
+    standard 3DGS."""
+
+    pos_lr_init: float = 0.00016
+    pos_lr_final: float = 0.0000016
+    pos_lr_delay_mult: float = 0.01
+    pos_lr_max_steps: int = 30_000
+    feature_lr: float = 0.0025       # sh0; shN uses feature_lr / 20
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    eps: float = 1e-15
+    b1: float = 0.9
+    b2: float = 0.999
+    visible_adam: bool = False       # sparse/visible-only Adam updates
+
+
+@dataclass
+class DensifyConfig:
+    """Densification / pruning schedule — field-for-field semantics of the
+    reference config (§2.9 of SURVEY.md)."""
+
+    strategy: int = DensifyStrategy.ADC_PLUS
+    cap_max: int = 2_000_000          # max splats (MCMC hard cap / buffer size)
+    refine_every: int = 100
+    warmup_length: int = 500
+    refine_stop_iter: int = 15_000
+    refine_scale2d_stop_iter: int = 5_000
+    reset_alpha_every: int = 3_000    # = 30 * refine_every
+    grow_grad2d: float = 0.0002
+    use_abs_grad: bool = True         # AbsGS
+    revised_opacity: bool = False     # revised opacity heuristic on clone
+    densify_scale3d: float = 0.01     # grow_scale3d: clone-vs-split threshold (x scene extent)
+    densify_scale2d: float = 0.05     # grow_scale2d screen-size split threshold
+    min_opacity: float = 0.005
+    prune_opacity: float = 0.005
+    prune_scale3d: float = 0.5        # prune if scale > 0.5 x scene extent (post reset window)
+    prune_scale2d: float = 0.15
+    prune_strategy: int = PruneStrategy.REDUCE
+    prune_interval: int = 700_000     # LightGaussian-style hard prune interval
+    noise_lr: float = 5e5             # MCMC noise learning rate
+    mcmc_min_opacity: float = 0.005
+
+
+@dataclass
+class RasterConfig:
+    tile_size: int = 16               # GROUP_WIDTH/HEIGHT=16 (gaussian_common.hlsl:161-163)
+    mip_antialiased: bool = False     # Mip-Splatting AA opacity compensation
+    eps2d: float = 0.3                # +0.3px low-pass dilation (gsplat_vs.hlsl:304-306)
+    max_instances_per_gaussian: int = 64
+    instance_capacity_mult: float = 8.0  # instance buffer = mult * capacity
+    transmittance_min: float = 1e-4   # early-stop threshold
+    depth_bits: int = 18              # depth bits in the (tile|depth) sort key
+    radius_clip: float = 0.0          # cull splats with radius <= this (px)
+
+
+@dataclass
+class TrainConfig:
+    # data
+    source_path: str = ""
+    model_path: str = ""
+    dataset_type: str = "auto"        # colmap | blender | auto
+    max_image_width: int = 2048
+    max_image_height: int = 2048
+    max_image_count: int = 0          # 0 = unlimited
+    use_mask: bool = False
+    white_background: bool = False
+    eval_holdout: int = 0             # every Nth image held out (0 = none)
+
+    # model
+    model_type: int = ModelType.GS3D
+    sh_degree: int = 3
+    sh_degree_interval: int = 1000    # raise active SH degree every N iters
+    enable_bg: bool = False           # separate sky/background model
+
+    # schedule
+    num_iters: int = 30_000
+    resolution_schedule: int = 3000   # progressive resolution ramp iters
+    progressive_train: bool = False
+    batch_size: int = 1
+
+    # losses
+    ssim_weight: float = 0.2
+    normal_consistency_loss: bool = False  # 2DGS/SuGaR-style; forced by export_mesh
+    dist_loss_weight: float = 0.0
+    pixel_grad_scale: float = 0.0     # pixelgs per-pixel gradient scaling
+
+    # subsystems
+    optim: OptimConfig = field(default_factory=OptimConfig)
+    densify: DensifyConfig = field(default_factory=DensifyConfig)
+    raster: RasterConfig = field(default_factory=RasterConfig)
+
+    # output
+    checkpoint_every: int = 10_000
+    export_mesh: bool = False
+    mesh_resolution: int = 256
+    cull_sh: bool = False
+    verbose: bool = False
+    seed: int = 0
+
+    def replace(self, **kw) -> "TrainConfig":
+        return dataclasses.replace(self, **kw)
+
+
+def auto_tune_config(cfg: TrainConfig, num_images: int) -> TrainConfig:
+    """Dataset-size auto-scaling, matching the reference heuristics
+    (``editor.cpp:2008-2016``): times = ceil(N/600); scale warmup, iters,
+    prune interval, and derived refine stops."""
+    times = max(1, math.ceil(num_images / 600))
+    d = dataclasses.replace(
+        cfg.densify,
+        prune_interval=700_000 * times,
+        warmup_length=500 * times,
+    )
+    num_iters = 30_000 + 10_000 * (times - 1)
+    d = dataclasses.replace(
+        d,
+        refine_stop_iter=num_iters // 2,
+        refine_scale2d_stop_iter=num_iters // 6,
+        reset_alpha_every=30 * d.refine_every,
+    )
+    return dataclasses.replace(
+        cfg,
+        num_iters=num_iters,
+        resolution_schedule=3000,
+        densify=d,
+    )
+
+
+def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
+    """CLI parsing — flag-compatible superset of diverseshot-cli
+    (``main.cpp:12-70``). Nested fields addressed as e.g.
+    ``--optim.pos_lr_init 1e-4``."""
+    import argparse
+
+    cfg = TrainConfig()
+    p = argparse.ArgumentParser("divshot-tpu train")
+
+    # reference CLI aliases -> our fields
+    alias = {
+        "source_path": "source_path", "model_path": "model_path",
+        "iterations": "num_iters", "cap_max": "densify.cap_max",
+        "densify_strategy": "densify.strategy",
+        "refine_every": "densify.refine_every",
+        "warmup_length": "densify.warmup_length",
+        "reset_alpha_every": "densify.reset_alpha_every",
+        "grow_grad2d": "densify.grow_grad2d",
+        "use_abs_grad": "densify.use_abs_grad",
+        "revised_opacity": "densify.revised_opacity",
+        "min_opacity": "densify.min_opacity",
+        "prune_opacity": "densify.prune_opacity",
+        "prune_scale3d": "densify.prune_scale3d",
+        "prune_scale2d": "densify.prune_scale2d",
+        "noiselr": "densify.noise_lr",
+        "ssim_weight": "ssim_weight",
+        "mip_antialiased": "raster.mip_antialiased",
+        "sh_degree": "sh_degree",
+        "white_background": "white_background",
+        "position_lr_init": "optim.pos_lr_init",
+        "position_lr_final": "optim.pos_lr_final",
+        "feature_lr": "optim.feature_lr",
+        "opacity_lr": "optim.opacity_lr",
+        "scaling_lr": "optim.scaling_lr",
+        "rotation_lr": "optim.rotation_lr",
+    }
+
+    def get_nested(obj: Any, path: str):
+        for part in path.split("."):
+            obj = getattr(obj, part)
+        return obj
+
+    for flag, path in alias.items():
+        default = get_nested(cfg, path)
+        t = type(default)
+        if t is bool:
+            p.add_argument(f"--{flag}", type=lambda s: s.lower() in ("1", "true", "yes"),
+                           default=None)
+        else:
+            p.add_argument(f"--{flag}", type=t, default=None)
+    p.add_argument("--load_itr", type=int, default=-1)
+    ns, _unknown = p.parse_known_args(argv)
+
+    def set_nested(obj, path, value):
+        parts = path.split(".")
+        if len(parts) == 1:
+            return dataclasses.replace(obj, **{parts[0]: value})
+        sub = set_nested(getattr(obj, parts[0]), ".".join(parts[1:]), value)
+        return dataclasses.replace(obj, **{parts[0]: sub})
+
+    for flag, path in alias.items():
+        v = getattr(ns, flag)
+        if v is not None:
+            cfg = set_nested(cfg, path, v)
+    cfg.load_itr = ns.load_itr  # type: ignore[attr-defined]
+    return cfg

@@ -1,0 +1,118 @@
+"""EWA projection of 3D Gaussians to screen space.
+
+Math matches the reference trainer's convention (graphdeco 3DGS; the viewer's
+copy of the same formulas is ``gsplat_vs.hlsl:74-166``): perspective Jacobian
+with view-space clamping to ±1.3·tan_fov, +eps2d low-pass dilation on the 2D
+covariance diagonal, optional Mip-Splatting AA opacity compensation
+(``gsplat_vs.hlsl:296-301,371-374``).
+
+All functions are batched over the splat axis — pure VPU elementwise work that
+XLA fuses into a handful of kernels.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from divshot_tpu.splat.camera import Camera
+from divshot_tpu.splat.math import build_cov3d
+
+
+class Projection(NamedTuple):
+    means2d: jax.Array   # (N, 2) pixel centers
+    conics: jax.Array    # (N, 3) inverse cov2d upper-tri (a, b, c):
+                         #        G = exp(-0.5(a dx² + 2b dx dy + c dy²))
+    depths: jax.Array    # (N,) view-space z
+    radii: jax.Array     # (N,) conservative pixel radius (0 = culled)
+    comp: jax.Array      # (N,) AA opacity compensation factor (1 if off)
+    cov2d: jax.Array     # (N, 3) dilated 2D covariance (xx, xy, yy)
+
+
+def project_gaussians(
+    means: jax.Array,        # (N, 3)
+    log_scales: jax.Array,   # (N, 3)
+    quats: jax.Array,        # (N, 4)
+    camera: Camera,
+    *,
+    eps2d: float = 0.3,
+    antialiased: bool = False,
+    near: float = 0.01,
+    far: float = 1e10,
+) -> Projection:
+    viewmat = camera.viewmat
+    R = viewmat[:3, :3]
+    t = viewmat[:3, 3]
+    # precision="highest" throughout: world-space geometry must not round
+    # through bf16 on the TPU MXU.
+    p_view = jnp.einsum("nj,ij->ni", means, R, precision="highest") + t
+    z = p_view[..., 2]
+
+    tan_fovx, tan_fovy = camera.tan_fovx, camera.tan_fovy
+    # clamp view-space xy as in gsplat_vs.hlsl:82-87 to bound the Jacobian
+    zc = jnp.maximum(z, near)
+    tx = jnp.clip(p_view[..., 0] / zc, -1.3 * tan_fovx, 1.3 * tan_fovx) * zc
+    ty = jnp.clip(p_view[..., 1] / zc, -1.3 * tan_fovy, 1.3 * tan_fovy) * zc
+
+    fx, fy = camera.fx, camera.fy
+    rz = 1.0 / zc
+    rz2 = rz * rz
+    # J = [[fx/z, 0, -fx x/z²], [0, fy/z, -fy y/z²]]
+    cov3d = build_cov3d(log_scales, quats)       # (N, 3, 3)
+    V = jnp.einsum("ij,njk,lk->nil", R, cov3d, R,
+                   precision="highest")          # view-space cov (N, 3, 3)
+
+    j00 = fx * rz
+    j02 = -fx * tx * rz2
+    j11 = fy * rz
+    j12 = -fy * ty * rz2
+    # cov2d = J V J^T, expanded (J rows: [j00,0,j02], [0,j11,j12])
+    v00, v01, v02 = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
+    v11, v12, v22 = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
+    cxx = j00 * j00 * v00 + 2 * j00 * j02 * v02 + j02 * j02 * v22
+    cxy = j00 * j11 * v01 + j00 * j12 * v02 + j02 * j11 * v12 + j02 * j12 * v22
+    cyy = j11 * j11 * v11 + 2 * j11 * j12 * v12 + j12 * j12 * v22
+
+    det_raw = cxx * cyy - cxy * cxy
+    cxx_d = cxx + eps2d
+    cyy_d = cyy + eps2d
+    det = cxx_d * cyy_d - cxy * cxy
+    det_safe = jnp.maximum(det, 1e-12)
+
+    # Mip-Splatting AA factor sqrt(det/det_dilated) (gsplat_vs.hlsl:296-301)
+    comp = jnp.sqrt(jnp.maximum(det_raw, 0.0) / det_safe) if antialiased \
+        else jnp.ones_like(det)
+
+    inv_det = 1.0 / det_safe
+    conic_a = cyy_d * inv_det
+    conic_b = -cxy * inv_det
+    conic_c = cxx_d * inv_det
+
+    # conservative radius: 3 sigma of the major eigenvalue
+    mid = 0.5 * (cxx_d + cyy_d)
+    disc = jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
+    lambda1 = mid + disc
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+
+    # pixel-space center
+    u = fx * p_view[..., 0] * rz + camera.cx
+    v = fy * p_view[..., 1] * rz + camera.cy
+
+    # cull: behind near plane, beyond far, degenerate cov, or fully offscreen
+    W, H = camera.width, camera.height
+    valid = (z > near) & (z < far) & (det > 0)
+    inside = (
+        (u + radius > 0) & (u - radius < W) & (v + radius > 0) & (v - radius < H)
+    )
+    radii = jnp.where(valid & inside, radius, 0.0)
+
+    return Projection(
+        means2d=jnp.stack([u, v], -1),
+        conics=jnp.stack([conic_a, conic_b, conic_c], -1),
+        depths=z,
+        radii=radii,
+        comp=comp,
+        cov2d=jnp.stack([cxx_d, cxy, cyy_d], -1),
+    )

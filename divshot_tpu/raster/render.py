@@ -1,0 +1,101 @@
+"""Top-level differentiable render: params + camera -> image.
+
+Pipeline (the TPU analog of the reference viewer's
+clear -> viewz cull -> sort -> raster chain, ``renderer/gaussian.cpp:272-502``,
+and of the closed trainer's tile rasterizer):
+
+  project (EWA) -> SH eval -> tile binning + (tile, depth) sort -> tiled
+  alpha compositing with analytic VJP.
+
+Backends:
+  - "tiles": production path (static-shape XLA tile rasterizer).
+  - "dense": O(N·pixels) oracle for tests/small scenes.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from divshot_tpu.splat.camera import Camera
+from divshot_tpu.splat.gaussians import GaussianParams
+from divshot_tpu.splat.sh import eval_sh_color
+from divshot_tpu.raster.project import project_gaussians, Projection
+from divshot_tpu.raster import tiles as _tiles
+from divshot_tpu.raster import dense as _dense
+
+
+class RenderOutput(NamedTuple):
+    image: jax.Array       # (H, W, 3)
+    alpha: jax.Array       # (H, W)
+    proj: Projection
+    means2d: jax.Array     # the projected means the compositor consumed —
+                           # differentiate w.r.t. these for densify stats
+    absgrad_sink: jax.Array
+
+
+def render(
+    params: GaussianParams,
+    camera: Camera,
+    *,
+    sh_degree: int | None = None,
+    background: jax.Array | None = None,
+    backend: str = "tiles",
+    tile_size: int = 16,
+    tile_capacity: int = 1024,
+    instance_capacity: int | None = None,
+    max_tiles_per_gaussian: int = 64,
+    chunk: int = 32,
+    eps2d: float = 0.3,
+    antialiased: bool = False,
+    absgrad_sink: jax.Array | None = None,
+) -> RenderOutput:
+    if sh_degree is None:
+        sh_degree = params.sh_degree
+
+    proj = project_gaussians(
+        params.means, params.scales, params.quats, camera,
+        eps2d=eps2d, antialiased=antialiased,
+    )
+
+    # view-dependent color: SH evaluated along camera->splat direction
+    dirs = params.means - camera.campos[None, :]
+    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-8)
+    colors = eval_sh_color(params.sh0, params.shN, dirs, sh_degree)
+
+    opac = params.effective_opacity() * proj.comp
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+
+    if backend == "dense":
+        proj_for_comp = Projection(
+            means2d=proj.means2d, conics=proj.conics, depths=proj.depths,
+            radii=proj.radii, comp=jnp.ones_like(proj.comp), cov2d=proj.cov2d)
+        img, alpha = _dense.composite_dense(
+            proj_for_comp, colors, opac, camera.width, camera.height,
+            background=background)
+        sink = jnp.zeros((params.capacity, 2), jnp.float32) \
+            if absgrad_sink is None else absgrad_sink
+        return RenderOutput(img, alpha, proj, proj.means2d, sink)
+
+    if instance_capacity is None:
+        instance_capacity = max(1 << 16, 4 * params.capacity)
+    bins = _tiles.bin_gaussians(
+        jax.lax.stop_gradient(proj.means2d),
+        jax.lax.stop_gradient(proj.depths),
+        jax.lax.stop_gradient(proj.radii),
+        camera.width, camera.height,
+        tile_size=tile_size, tile_capacity=tile_capacity,
+        instance_capacity=instance_capacity,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+    )
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros((params.capacity, 2), jnp.float32)
+    img, alpha = _tiles.composite_tiles(
+        proj.means2d, proj.conics, colors, opac, bins.ids_mat,
+        camera.width, camera.height, tile_size=tile_size, chunk=chunk,
+        background=background, absgrad_sink=absgrad_sink,
+    )
+    return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink)
