@@ -51,7 +51,11 @@ def render(
     eps2d: float = 0.3,
     antialiased: bool = False,
     absgrad_sink: jax.Array | None = None,
+    means2d_sink: jax.Array | None = None,
 ) -> RenderOutput:
+    """``absgrad_sink`` / ``means2d_sink`` are zero (N, 2) inputs whose
+    cotangents harvest the AbsGS absolute and the signed screen-space
+    gradients per gaussian (densification statistics)."""
     if sh_degree is None:
         sh_degree = params.sh_degree
 
@@ -93,8 +97,10 @@ def render(
     )
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((params.capacity, 2), jnp.float32)
+    means2d = proj.means2d if means2d_sink is None \
+        else proj.means2d + means2d_sink
     img, alpha = _tiles.composite_tiles(
-        proj.means2d, proj.conics, colors, opac, bins.ids_mat,
+        means2d, proj.conics, colors, opac, bins.ids_mat,
         camera.width, camera.height, tile_size=tile_size, chunk=chunk,
         background=background, absgrad_sink=absgrad_sink,
     )

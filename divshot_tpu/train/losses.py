@@ -1,0 +1,73 @@
+"""Training losses: L1 + SSIM (weights per reference default ssimWeight=0.2,
+SURVEY §2.9), PSNR metric, optional normal-consistency (2DGS) hooks.
+
+SSIM follows the standard 11×11 Gaussian-window formulation used by 3DGS
+(sigma 1.5, K1 0.01, K2 0.03) — implemented as two separable depthwise
+convolutions, which XLA maps onto the TPU convolution units.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _gauss_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
+    x = np.arange(size) - size // 2
+    g = np.exp(-(x ** 2) / (2 * sigma ** 2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(img: jax.Array, window: jax.Array) -> jax.Array:
+    """Separable gaussian blur of (H, W, C) with SAME padding."""
+    k = window.shape[0]
+    c = img.shape[-1]
+    x = img[None].transpose(0, 3, 1, 2)              # NCHW
+    kh = jnp.tile(window.reshape(1, 1, k, 1), (c, 1, 1, 1))
+    kw = jnp.tile(window.reshape(1, 1, 1, k), (c, 1, 1, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), [(k // 2, k // 2), (0, 0)], dimension_numbers=dn,
+        feature_group_count=c)
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), [(0, 0), (k // 2, k // 2)], dimension_numbers=dn,
+        feature_group_count=c)
+    return x.transpose(0, 2, 3, 1)[0]
+
+
+def ssim(img1: jax.Array, img2: jax.Array, *, size: int = 11,
+         sigma: float = 1.5) -> jax.Array:
+    """Mean SSIM over an (H, W, C) pair in [0, 1]."""
+    w = jnp.asarray(_gauss_window(size, sigma))
+    C1, C2 = 0.01 ** 2, 0.03 ** 2
+    mu1 = _blur(img1, w)
+    mu2 = _blur(img2, w)
+    mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
+    s1 = _blur(img1 * img1, w) - mu1_sq
+    s2 = _blur(img2 * img2, w) - mu2_sq
+    s12 = _blur(img1 * img2, w) - mu12
+    m = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
+    return jnp.mean(m)
+
+
+def l1(img1: jax.Array, img2: jax.Array) -> jax.Array:
+    return jnp.mean(jnp.abs(img1 - img2))
+
+
+def photometric_loss(pred: jax.Array, gt: jax.Array,
+                     ssim_weight: float = 0.2) -> jax.Array:
+    """(1-w)·L1 + w·(1-SSIM) — the reference trainer's loss (SURVEY §3.3)."""
+    loss = (1.0 - ssim_weight) * l1(pred, gt)
+    if ssim_weight > 0:
+        loss = loss + ssim_weight * (1.0 - ssim(pred, gt))
+    return loss
+
+
+def psnr(pred: jax.Array, gt: jax.Array) -> jax.Array:
+    mse = jnp.mean((pred - gt) ** 2)
+    return -10.0 * jnp.log10(jnp.maximum(mse, 1e-10))

@@ -1,0 +1,324 @@
+"""Densification / pruning strategies under static shapes.
+
+Reimplements the behavior of the reference trainer's three strategies
+(``densifyStrategy {0:SplatADC, 1:SplatMCMC, 2:SplatADC+}``, SURVEY §2.9)
+TPU-first: the splat arrays are capacity-padded with an ``alive`` mask, so
+clone/split/prune/relocate are pure scatter ops on fixed-shape buffers —
+no reallocation, fully jit-compatible, executed under ``lax.cond`` on the
+refine schedule so one compiled train step serves every iteration.
+
+ADC  — classic gaussian-splatting adaptive density control: clone small /
+       split large splats whose accumulated NDC positional gradient exceeds
+       grow_grad2d; prune transparent/oversized; periodic alpha reset.
+ADC+ — ADC with AbsGS absolute gradients (useAbsGrad) and revised opacity
+       on clone (revisedOpacity), per the reference's defaults.
+MCMC — 3DGS-as-MCMC: dead splats teleport onto samples of live ones with
+       opacity/scale rescaled by the N-way split relocation rule; live set
+       grows toward cap_max; covariance-shaped position noise each step.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from divshot_tpu.core.config import DensifyConfig, DensifyStrategy
+from divshot_tpu.splat.gaussians import GaussianParams
+from divshot_tpu.splat.math import quat_to_rotmat
+from divshot_tpu.train.optim import AdamState, PARAM_FIELDS, pos_lr_schedule
+
+
+@struct.dataclass
+class DensifyObs:
+    """Per-step observations fed to the strategy."""
+    grad2d: jax.Array      # (C,) ‖dL/dmeans2d‖ in NDC units this step
+    absgrad2d: jax.Array   # (C,) AbsGS |dL/dmeans2d| norm (NDC)
+    radii: jax.Array       # (C,) pixel radii (0 = not visible)
+    width: int = struct.field(pytree_node=False, default=0)
+    height: int = struct.field(pytree_node=False, default=0)
+
+
+@struct.dataclass
+class DensifyState:
+    grad_accum: jax.Array   # (C,)
+    count: jax.Array        # (C,)
+    max_radii: jax.Array    # (C,) max radius as fraction of max(W, H)
+
+    @classmethod
+    def init(cls, capacity: int) -> "DensifyState":
+        # distinct buffers (donation requires no aliasing between leaves)
+        return cls(grad_accum=jnp.zeros((capacity,), jnp.float32),
+                   count=jnp.zeros((capacity,), jnp.float32),
+                   max_radii=jnp.zeros((capacity,), jnp.float32))
+
+
+def update_stats(state: DensifyState, obs: DensifyObs,
+                 use_abs_grad: bool = True) -> DensifyState:
+    """Accumulate per-splat screen-grad stats; AbsGS selects the absolute
+    gradient accumulator (reference default useAbsGrad=true)."""
+    visible = obs.radii > 0
+    g = jnp.where(visible, obs.absgrad2d if use_abs_grad else obs.grad2d, 0.0)
+    return DensifyState(
+        grad_accum=state.grad_accum + g,
+        count=state.count + visible.astype(jnp.float32),
+        max_radii=jnp.maximum(
+            state.max_radii,
+            jnp.where(visible, obs.radii / max(obs.width, obs.height), 0.0)),
+    )
+
+
+def _zero_moments_at(opt: AdamState, mask: jax.Array) -> AdamState:
+    def z(d):
+        out = {}
+        for f in PARAM_FIELDS:
+            v = d[f]
+            m = mask.reshape((-1,) + (1,) * (v.ndim - 1))
+            out[f] = jnp.where(m, 0.0, v)
+        return out
+    return AdamState(mu=z(opt.mu), nu=z(opt.nu), step=opt.step)
+
+
+def _gather_fields(params: GaussianParams, idx: jax.Array) -> dict:
+    return {f: getattr(params, f)[idx] for f in PARAM_FIELDS}
+
+
+def _scatter_fields(params: GaussianParams, dest: jax.Array, values: dict,
+                    ok: jax.Array) -> GaussianParams:
+    """Scatter value rows to dest slots where ok (dest clamped+dropped)."""
+    cap = params.capacity
+    dest_safe = jnp.where(ok, dest, cap)
+    upd = {}
+    for f in PARAM_FIELDS:
+        upd[f] = getattr(params, f).at[dest_safe].set(values[f], mode="drop")
+    return params.replace(**upd)
+
+
+def _sample_from_gaussian(key: jax.Array, params: GaussianParams) -> jax.Array:
+    """One sample per splat from N(mean, cov): mean + R·(exp(s)·eps)."""
+    eps = jax.random.normal(key, params.means.shape)
+    R = quat_to_rotmat(params.quats)
+    return params.means + jnp.einsum(
+        "nij,nj->ni", R, jnp.exp(params.scales) * eps, precision="highest")
+
+
+# ---------------------------------------------------------------------------
+# ADC / ADC+
+
+
+def adc_refine(
+    cfg: DensifyConfig,
+    params: GaussianParams,
+    opt: AdamState,
+    state: DensifyState,
+    key: jax.Array,
+    step: jax.Array,
+    scene_extent: float,
+) -> tuple[GaussianParams, AdamState, DensifyState]:
+    cap = params.capacity
+    alive = params.alive
+    avg_grad = state.grad_accum / jnp.maximum(state.count, 1.0)
+    is_grad_high = (avg_grad > cfg.grow_grad2d) & alive
+
+    max_scale = jnp.max(jnp.exp(params.scales), axis=-1)
+    is_small = max_scale <= cfg.densify_scale3d * scene_extent
+    is_dupli = is_grad_high & is_small
+    is_split = is_grad_high & ~is_small
+    # screen-size split (refineScale2d window)
+    is_split = is_split | (
+        (state.max_radii > cfg.densify_scale2d) & alive
+        & (step < cfg.refine_scale2d_stop_iter))
+    is_dupli = is_dupli & ~is_split
+
+    # --- allocate free slots: dead slots ordered first ---
+    req = is_dupli | is_split
+    free_order = jnp.argsort(alive)              # dead slots first
+    num_free = cap - jnp.sum(alive.astype(jnp.int32))
+    req_rank = jnp.cumsum(req.astype(jnp.int32)) - 1
+    ok = req & (req_rank < num_free)
+    dest = free_order[jnp.clip(req_rank, 0, cap - 1)]
+
+    k1, k2 = jax.random.split(key)
+    sample_a = _sample_from_gaussian(k1, params)
+    sample_b = _sample_from_gaussian(k2, params)
+    split_scales = params.scales - jnp.log(1.6)   # /1.6 in linear units
+
+    # values written to the NEW slot:
+    new_vals = _gather_fields(params, jnp.arange(cap))
+    split_ok = is_split & ok
+    dupli_ok = is_dupli & ok
+    new_vals["means"] = jnp.where(split_ok[:, None], sample_b, new_vals["means"])
+    new_vals["scales"] = jnp.where(split_ok[:, None], split_scales,
+                                   new_vals["scales"])
+    if cfg.revised_opacity:
+        # ADC+ (gsplat revised_opacity): each of the duplicated pair gets
+        # alpha' = 1 - sqrt(1 - alpha) so the blended opacity is preserved
+        alpha_cur = jax.nn.sigmoid(params.opacity)
+        x = jnp.clip(1.0 - jnp.sqrt(jnp.clip(1 - alpha_cur, 1e-6, 1.0)),
+                     1e-5, 1 - 1e-5)
+        rev = jnp.log(x) - jnp.log1p(-x)
+        new_vals["opacity"] = jnp.where(dupli_ok, rev, new_vals["opacity"])
+
+    params2 = _scatter_fields(params, dest, new_vals, ok)
+    # in-place edits on the ORIGINAL slot for splits (and revised-opacity dups)
+    new_opacity = params2.opacity
+    if cfg.revised_opacity:
+        new_opacity = jnp.where(dupli_ok, new_vals["opacity"], new_opacity)
+    params2 = params2.replace(
+        means=jnp.where(split_ok[:, None], sample_a, params2.means),
+        scales=jnp.where(split_ok[:, None], split_scales, params2.scales),
+        opacity=new_opacity,
+        alive=params2.alive.at[jnp.where(ok, dest, cap)].set(
+            True, mode="drop"),
+    )
+
+    # zero Adam moments at new slots + modified originals
+    touched = jnp.zeros((cap,), bool).at[jnp.where(ok, dest, cap)].set(
+        True, mode="drop") | split_ok
+    opt2 = _zero_moments_at(opt, touched)
+
+    # --- prune ---
+    alpha = jax.nn.sigmoid(params2.opacity)
+    too_transparent = alpha < cfg.prune_opacity
+    is_huge_3d = max_scale > cfg.prune_scale3d * scene_extent
+    is_huge_2d = state.max_radii > cfg.prune_scale2d
+    # size pruning only after first alpha reset (graphdeco: iter > reset)
+    size_prune = (is_huge_3d | is_huge_2d) & (step > cfg.reset_alpha_every)
+    dead = too_transparent | size_prune
+    params2 = params2.replace(alive=params2.alive & ~dead)
+
+    return params2, opt2, DensifyState.init(cap)
+
+
+def alpha_reset(cfg: DensifyConfig, params: GaussianParams,
+                opt: AdamState) -> tuple[GaussianParams, AdamState]:
+    """Clamp opacities to ≤ 2·min_opacity (graphdeco reset_opacity) and zero
+    the opacity Adam moments."""
+    target = 2.0 * cfg.min_opacity
+    logit = jnp.log(target) - jnp.log1p(-target)
+    new_op = jnp.minimum(params.opacity, logit)
+    opt2 = AdamState(
+        mu={**opt.mu, "opacity": jnp.zeros_like(opt.mu["opacity"])},
+        nu={**opt.nu, "opacity": jnp.zeros_like(opt.nu["opacity"])},
+        step=opt.step)
+    return params.replace(opacity=new_op), opt2
+
+
+# ---------------------------------------------------------------------------
+# MCMC
+
+
+def _relocation_rescale(opacity_logit: jax.Array, scales_log: jax.Array,
+                        n_split: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """MCMC N-way split rule: alpha_new = 1-(1-alpha)^(1/N); scale shrunk by
+    the binomial-sum rule of Kheradmand et al. (approximated by the exact
+    opacity rule + 1/sqrt(N) scale shrink for N>1)."""
+    alpha = jax.nn.sigmoid(opacity_logit)
+    n = jnp.maximum(n_split, 1).astype(jnp.float32)
+    a_new = 1.0 - jnp.power(jnp.clip(1.0 - alpha, 1e-6, 1.0), 1.0 / n)
+    a_new = jnp.clip(a_new, 1e-5, 1 - 1e-5)
+    o_new = jnp.log(a_new) - jnp.log1p(-a_new)
+    s_new = scales_log - 0.5 * jnp.log(n)[..., None]
+    return o_new, s_new
+
+
+def mcmc_refine(
+    cfg: DensifyConfig,
+    params: GaussianParams,
+    opt: AdamState,
+    state: DensifyState,
+    key: jax.Array,
+    step: jax.Array,
+    scene_extent: float,
+) -> tuple[GaussianParams, AdamState, DensifyState]:
+    del scene_extent
+    cap = params.capacity
+    alive = params.alive
+    alpha = jnp.where(alive, jax.nn.sigmoid(params.opacity), 0.0)
+
+    # dead = transparent-but-alive splats to relocate; plus grow 5% of cap
+    # from the dead pool toward cap_max
+    relocate = alive & (alpha < cfg.mcmc_min_opacity)
+    n_alive = jnp.sum(alive.astype(jnp.int32))
+    target_alive = jnp.minimum(
+        jnp.int32(cfg.cap_max),
+        jnp.maximum(n_alive + 1,
+                    (n_alive.astype(jnp.float32) * 1.05).astype(jnp.int32)))
+    grow_budget = jnp.maximum(target_alive - n_alive, 0)
+    dead_rank = jnp.cumsum((~alive).astype(jnp.int32)) - 1
+    grow = ~alive & (dead_rank < grow_budget)
+
+    req = relocate | grow
+    # sample targets ∝ opacity among healthy alive splats
+    probs = jnp.where(alive & ~relocate, alpha, 0.0)
+    probs = probs / jnp.maximum(probs.sum(), 1e-8)
+    k1, _ = jax.random.split(key)
+    targets = jax.random.choice(k1, cap, shape=(cap,), p=probs)
+
+    # how many requests landed on each target (+1 for the target itself)
+    n_extra = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(req, targets, cap)].add(1, mode="drop")
+    n_split = 1 + n_extra
+
+    o_new, s_new = _relocation_rescale(params.opacity, params.scales, n_split)
+
+    # targets adopt their rescaled opacity/scale; requests copy the target
+    tsel = jnp.where(req, targets, 0)
+    new_vals = {
+        "means": params.means[tsel],
+        "scales": s_new[tsel],
+        "quats": params.quats[tsel],
+        "opacity": o_new[tsel],
+        "sh0": params.sh0[tsel],
+        "shN": params.shN[tsel],
+    }
+    touched_target = n_extra > 0
+    params2 = params.replace(
+        opacity=jnp.where(touched_target, o_new, params.opacity),
+        scales=jnp.where(touched_target[:, None], s_new, params.scales),
+    )
+    upd = {}
+    for f in PARAM_FIELDS:
+        m = req.reshape((-1,) + (1,) * (new_vals[f].ndim - 1))
+        upd[f] = jnp.where(m, new_vals[f], getattr(params2, f))
+    params2 = params2.replace(**upd, alive=alive | grow)
+
+    opt2 = _zero_moments_at(opt, req | touched_target)
+    return params2, opt2, DensifyState.init(cap)
+
+
+def mcmc_noise(
+    cfg: DensifyConfig,
+    opt_cfg,
+    params: GaussianParams,
+    key: jax.Array,
+    step: jax.Array,
+    scene_extent: float,
+) -> GaussianParams:
+    """Per-step covariance-shaped position noise (MCMC exploration term),
+    gated to ~transparent splats: eps ~ N(0, cov), scaled by
+    pos_lr · noise_lr · sigmoid(-100·(alpha - 0.005))."""
+    lr = pos_lr_schedule(opt_cfg, step, scene_extent)
+    alpha = jax.nn.sigmoid(params.opacity)
+    gate = jax.nn.sigmoid(-100.0 * (alpha - 0.005))
+    eps = jax.random.normal(key, params.means.shape)
+    R = quat_to_rotmat(params.quats)
+    noise = jnp.einsum("nij,nj->ni", R, jnp.exp(params.scales) * eps,
+                       precision="highest")
+    noise = noise * (gate * lr * cfg.noise_lr)[:, None]
+    noise = jnp.where(params.alive[:, None], noise, 0.0)
+    return params.replace(means=params.means + noise)
+
+
+def refine(
+    cfg: DensifyConfig,
+    params: GaussianParams,
+    opt: AdamState,
+    state: DensifyState,
+    key: jax.Array,
+    step: jax.Array,
+    scene_extent: float,
+) -> tuple[GaussianParams, AdamState, DensifyState]:
+    if cfg.strategy == DensifyStrategy.MCMC:
+        return mcmc_refine(cfg, params, opt, state, key, step, scene_extent)
+    return adc_refine(cfg, params, opt, state, key, step, scene_extent)
