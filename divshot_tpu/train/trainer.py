@@ -77,8 +77,13 @@ def sh_band_mask(num_coeffs: int, degree: jax.Array) -> jax.Array:
 
 
 def make_train_step(cfg: TrainConfig, dataset: Dataset,
-                    render_kwargs: dict[str, Any] | None = None) -> Callable:
-    """Build the (state, view_idx) -> (state, metrics) step function."""
+                    render_kwargs: dict[str, Any] | None = None,
+                    batch_size: int = 1) -> Callable:
+    """Build the (state, view_idx) -> (state, metrics) step function.
+
+    ``view_idx`` is () for batch_size=1 or (B,) for batched steps; the batch
+    axis is the data-parallel axis — shard it over a mesh (dist/) and XLA
+    inserts the gradient psum over ICI."""
     rk = dict(
         backend="tiles",
         tile_size=cfg.raster.tile_size,
@@ -96,9 +101,9 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
     ndc_scale = jnp.asarray([W / 2.0, H / 2.0], jnp.float32)
 
     def train_step(state: TrainState, view_idx: jax.Array):
-        camera = jax.tree.map(lambda x: x[view_idx], dataset.cameras)
-        camera = camera.replace(width=W, height=H)
-        gt = dataset.images[view_idx].astype(jnp.float32) / 255.0
+        batched = view_idx.ndim == 1
+        cameras = jax.tree.map(lambda x: x[view_idx], dataset.cameras)
+        gts = dataset.images[view_idx].astype(jnp.float32) / 255.0
 
         key, k_refine, k_noise = jax.random.split(state.key, 3)
         step = state.opt.step
@@ -106,19 +111,35 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         shmask = sh_band_mask(state.params.shN.shape[1], deg)
         cap = state.params.capacity
 
-        def loss_fn(fields, abs_sink, m2d_sink):
+        def one_view(fields, abs_sink, m2d_sink, camera, gt):
             p = state.params.replace(**fields)
             p = p.replace(shN=p.shN * shmask)
+            camera = camera.replace(width=W, height=H)
             out = render(p, camera, background=bg, absgrad_sink=abs_sink,
                          means2d_sink=m2d_sink, **rk)
             loss = photometric_loss(out.image, gt, cfg.ssim_weight)
             return loss, (out.image, out.proj.radii)
+
+        if batched:
+            def loss_fn(fields, abs_sink, m2d_sink):
+                losses, aux = jax.vmap(
+                    one_view, in_axes=(None, None, None, 0, 0))(
+                        fields, abs_sink, m2d_sink, cameras, gts)
+                return jnp.mean(losses), aux
+        else:
+            def loss_fn(fields, abs_sink, m2d_sink):
+                return one_view(fields, abs_sink, m2d_sink, cameras, gts)
 
         fields = {f: getattr(state.params, f) for f in PARAM_FIELDS}
         zeros2 = jnp.zeros((cap, 2), jnp.float32)
         (loss, (img, radii)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(fields, zeros2, zeros2)
         g_fields, g_abs, g_m2d = grads
+        if batched:
+            img = img[0]
+            radii = jnp.max(radii, axis=0)  # visible in any view of the batch
+            gts = gts[0]
+        gt = gts
 
         obs = S.DensifyObs(
             grad2d=jnp.linalg.norm(g_m2d * ndc_scale, axis=-1),
