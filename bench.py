@@ -35,13 +35,13 @@ def main():
     n_alive = 100_000
     res = 800
 
-    gt = random_scene(rng, n_alive, sh_degree=3)
+    gt = random_scene(rng, n_alive, sh_degree=3, scale_range=(0.004, 0.025))
     cams = orbit_cameras(16, width=res)
     images = render_gt_images(
-        gt, cams, tile_capacity=1024, chunk=32,
-        instance_capacity=1 << 20)
+        gt, cams, backend="pallas", instance_capacity=1 << 20)
     ds = Dataset.from_views(cams, images)
-    params = random_scene(rng, n_alive, sh_degree=3, capacity=capacity)
+    params = random_scene(rng, n_alive, sh_degree=3, capacity=capacity,
+                          scale_range=(0.004, 0.025))
 
     cfg = TrainConfig(sh_degree=3)
     cfg.densify.cap_max = capacity
@@ -51,8 +51,8 @@ def main():
     step_fn = jax.jit(
         make_train_step(
             cfg, ds,
-            render_kwargs={"tile_capacity": 1024, "chunk": 32,
-                           "instance_capacity": 1 << 21}),
+            render_kwargs={"backend": "pallas",
+                           "instance_capacity": 1 << 20}),
         donate_argnums=(0,))
 
     state = TrainState(params=params, opt=AdamState.init(params),

@@ -18,14 +18,20 @@ from divshot_tpu.raster.render import render
 
 
 def random_scene(rng: np.random.Generator, n: int, *, sh_degree: int = 0,
-                 radius: float = 1.2, capacity: int | None = None
+                 radius: float = 1.2, capacity: int | None = None,
+                 scale_range: tuple[float, float] = (0.02, 0.09),
                  ) -> GaussianParams:
-    """Blob-cluster scene: gaussians clumped around a few centers, colorful."""
+    """Blob-cluster scene: gaussians clumped around a few centers, colorful.
+
+    ``scale_range``: linear splat scale bounds; converged real scenes have
+    mostly small splats (≈0.002-0.02 of scene units) — use that for
+    realistic instance-duplication factors in benchmarks."""
     k = 12
     centers = rng.uniform(-radius, radius, (k, 3))
     which = rng.integers(0, k, n)
     means = centers[which] + 0.25 * rng.standard_normal((n, 3))
-    scales = rng.uniform(np.log(0.02), np.log(0.09), (n, 3))
+    scales = rng.uniform(np.log(scale_range[0]), np.log(scale_range[1]),
+                         (n, 3))
     quats = rng.standard_normal((n, 4))
     opacity = rng.uniform(0.5, 3.0, (n,))
     base = rng.uniform(0, 1, (k, 3))

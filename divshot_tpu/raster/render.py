@@ -94,11 +94,27 @@ def render(
         tile_size=tile_size, tile_capacity=tile_capacity,
         instance_capacity=instance_capacity,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
+        build_ids_mat=(backend != "pallas"),
     )
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((params.capacity, 2), jnp.float32)
     means2d = proj.means2d if means2d_sink is None \
         else proj.means2d + means2d_sink
+
+    if backend == "pallas":
+        tw = (camera.width + tile_size - 1) // tile_size
+        th = (camera.height + tile_size - 1) // tile_size
+        inst_al, ts_al = _tiles.align_instances(
+            bins, tw * th, capacity=instance_capacity + tw * th * 256)
+        from divshot_tpu.raster import pallas_raster as _pr
+        interp = jax.default_backend() != "tpu"   # interpret off-TPU (tests)
+        img, alpha = _pr.rasterize_pallas(
+            means2d, proj.conics, colors, opac, inst_al, ts_al,
+            width=camera.width, height=camera.height, tile_size=tile_size,
+            background=background, absgrad_sink=absgrad_sink,
+            interpret=interp)
+        return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink)
+
     img, alpha = _tiles.composite_tiles(
         means2d, proj.conics, colors, opac, bins.ids_mat,
         camera.width, camera.height, tile_size=tile_size, chunk=chunk,

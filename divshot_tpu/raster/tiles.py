@@ -38,11 +38,20 @@ ALPHA_MAX = 0.999
 T_EPS = 1e-4
 
 
+def pltpu_bitcast_u32(x: jax.Array) -> jax.Array:
+    """f32 -> monotone-sortable u32 for non-negative floats (+inf maps to
+    the maximum pattern class, keeping padded entries last)."""
+    return jax.lax.bitcast_convert_type(x, jnp.uint32)
+
+
 class TileBins(NamedTuple):
-    ids_mat: jax.Array       # (num_tiles, K) int32 gaussian ids, -1 = empty,
-                             # front-to-back within each tile row
-    num_instances: jax.Array  # () int32 — diagnostics (pre-cap instance count)
-    tile_counts: jax.Array   # (num_tiles,) int32 instances per tile (uncapped)
+    ids_mat: jax.Array | None  # (num_tiles, K) int32 gaussian ids, -1 = empty,
+                               # front-to-back within each tile row
+    num_instances: jax.Array   # () int32 — diagnostics (pre-cap instance count)
+    tile_counts: jax.Array     # (num_tiles,) int32 instances per tile (uncapped)
+    inst_gauss: jax.Array      # (I,) int32 sorted instance gaussian ids (-1 pad)
+    tile_start: jax.Array      # (num_tiles+1,) int32 instance ranges per tile
+    inst_tile: jax.Array       # (I,) int32 sorted tile id per instance
 
 
 def _tile_grid(width: int, height: int, tile_size: int) -> tuple[int, int]:
@@ -63,6 +72,7 @@ def bin_gaussians(
     instance_capacity: int = 1 << 20,
     max_tiles_per_gaussian: int = 64,
     expand_chunk: int = 1 << 16,
+    build_ids_mat: bool = True,
 ) -> TileBins:
     """Build the per-tile front-to-back gaussian id matrix."""
     n = means2d.shape[0]
@@ -126,23 +136,71 @@ def bin_gaussians(
         (c_tmin_x, c_tmin_y, c_nx, c_counts, c_offsets, c_depths, c_gid),
     )
 
-    # --- (tile, depth) two-key sort; padded slots (tile=sentinel) go last ---
-    s_tile, _s_depth, s_gauss = jax.lax.sort(
-        (inst_tile, inst_depth, inst_gauss), num_keys=2)
+    # --- (tile, depth) sort; padded slots (tile=sentinel) go last.
+    # Fast path: pack (tile:14b | sortable-depth:18b) into ONE uint32 key —
+    # the same keying scheme as the reference's 32-bit radix sort design
+    # (gpu_sort.cpp:16-25) — a single-key lax.sort is much cheaper on TPU
+    # than the two-key comparator sort. Depth order uses the monotone bit
+    # pattern of positive f32 (FloatToSortableUint, gaussian_common.hlsl).
+    tile_bits = max(1, (num_tiles + 1).bit_length())
+    depth_bits = 32 - tile_bits
+    if tile_bits <= 14:
+        dbits = pltpu_bitcast_u32(inst_depth)
+        key = (inst_tile.astype(jnp.uint32) << depth_bits) | (
+            dbits >> (32 - depth_bits))
+        s_key, s_gauss = jax.lax.sort((key, inst_gauss), num_keys=1)
+        s_tile = (s_key >> depth_bits).astype(jnp.int32)
+    else:
+        s_tile, _s_depth, s_gauss = jax.lax.sort(
+            (inst_tile, inst_depth, inst_gauss), num_keys=2)
 
-    # --- per-tile ranges + scatter into the dense (T, K) id matrix ---
-    tile_start = jnp.searchsorted(s_tile, jnp.arange(num_tiles, dtype=jnp.int32))
-    rank = jnp.arange(cap, dtype=jnp.int32) - tile_start[
-        jnp.minimum(s_tile, num_tiles - 1)]
-    ok = (s_tile < num_tiles) & (rank < tile_capacity)
-    flat = jnp.where(ok, s_tile * tile_capacity + rank, num_tiles * tile_capacity)
-    ids_mat = jnp.full((num_tiles * tile_capacity,), -1, jnp.int32)
-    ids_mat = ids_mat.at[flat].set(s_gauss, mode="drop")
-    ids_mat = ids_mat.reshape(num_tiles, tile_capacity)
+    # --- per-tile ranges (tile_start[T] == total real instances) ---
+    tile_bounds = jnp.searchsorted(
+        s_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(jnp.int32)
+    tile_start = tile_bounds[:num_tiles]
+    tile_counts = tile_bounds[1:] - tile_start
 
-    tile_counts = jnp.searchsorted(
-        s_tile, jnp.arange(1, num_tiles + 1, dtype=jnp.int32)) - tile_start
-    return TileBins(ids_mat=ids_mat, num_instances=total, tile_counts=tile_counts)
+    ids_mat = None
+    if build_ids_mat:
+        rank = jnp.arange(cap, dtype=jnp.int32) - tile_start[
+            jnp.minimum(s_tile, num_tiles - 1)]
+        ok = (s_tile < num_tiles) & (rank < tile_capacity)
+        flat = jnp.where(ok, s_tile * tile_capacity + rank,
+                         num_tiles * tile_capacity)
+        ids_mat = jnp.full((num_tiles * tile_capacity,), -1, jnp.int32)
+        ids_mat = ids_mat.at[flat].set(s_gauss, mode="drop")
+        ids_mat = ids_mat.reshape(num_tiles, tile_capacity)
+
+    return TileBins(ids_mat=ids_mat, num_instances=total,
+                    tile_counts=tile_counts, inst_gauss=s_gauss,
+                    tile_start=tile_bounds, inst_tile=s_tile)
+
+
+def align_instances(bins: TileBins, num_tiles: int, *, block: int = 256,
+                    capacity: int | None = None
+                    ) -> tuple[jax.Array, jax.Array]:
+    """Re-layout sorted instances so every tile's range starts on a `block`
+    boundary (Pallas kernels DMA aligned blocks, and per-block gradient
+    outputs must belong to exactly one tile). Padding slots get id -1.
+
+    Returns (inst_gauss_aligned (Ia,), tile_start_aligned (T+1,)).
+    """
+    counts = bins.tile_start[1:] - bins.tile_start[:-1]     # (T,)
+    aligned = (counts + block - 1) // block * block
+    astart = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)])
+    cap = capacity if capacity is not None else (
+        bins.inst_gauss.shape[0] + num_tiles * (block - 1) + block)
+    cap = (cap + block - 1) // block * block
+
+    i = jnp.arange(bins.inst_gauss.shape[0], dtype=jnp.int32)
+    tile_of = jnp.minimum(bins.inst_tile, num_tiles - 1)
+    valid = bins.inst_gauss >= 0
+    rank = i - bins.tile_start[tile_of]
+    newpos = jnp.where(valid, astart[tile_of] + rank, cap)
+    out = jnp.full((cap,), -1, jnp.int32)
+    out = out.at[newpos].set(bins.inst_gauss, mode="drop")
+    return out, astart
 
 
 # ---------------------------------------------------------------------------
