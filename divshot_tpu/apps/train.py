@@ -1,0 +1,142 @@
+"""Headless trainer CLI — the TPU rebuild of diverseshot-cli
+(``application/diverseshot-cli/source/{main.cpp,gs_train.cpp}``):
+flag-compatible superset, phase state machine, tqdm progress, periodic
+checkpoints past the alpha-reset warmup, final PLY save.
+
+Usage:
+  python -m divshot_tpu.apps.train --source_path <scene> --model_path out/
+  python -m divshot_tpu.apps.train --demo  (synthetic scene, no dataset)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+
+def main(argv=None):
+    import jax
+    from divshot_tpu.core.config import config_from_flags, auto_tune_config
+    from divshot_tpu.core.metrics import (
+        MetricsWriter, PhaseTracker, TrainingStatus)
+    from divshot_tpu.splat.gaussians import init_from_points
+    from divshot_tpu.gsio.datasets import load_dataset
+    from divshot_tpu.gsio.synthetic import (
+        random_scene, orbit_cameras, render_gt_images)
+    from divshot_tpu.train.trainer import Trainer, Dataset
+    from divshot_tpu.train import checkpoint as CK
+    from divshot_tpu.train.losses import psnr
+    from divshot_tpu.raster.render import render
+    from divshot_tpu.gsio import ply as P
+    from tqdm import tqdm
+    import jax.numpy as jnp
+
+    argv = argv if argv is not None else sys.argv[1:]
+    demo = "--demo" in argv
+    argv = [a for a in argv if a != "--demo"]
+    cfg = config_from_flags(argv)
+    phase = PhaseTracker()
+    phase.set(TrainingStatus.LOADING_PREPARE)
+
+    # ---- data ----
+    if demo:
+        rng = np.random.default_rng(cfg.seed)
+        gt = random_scene(rng, 20_000, sh_degree=cfg.sh_degree,
+                          scale_range=(0.004, 0.03))
+        cams = orbit_cameras(32, width=400)
+        images = render_gt_images(gt, cams, backend="pallas",
+                                  instance_capacity=1 << 19)
+        ds = Dataset.from_views(cams, images)
+        points = np.asarray(gt.means)[::4]
+        colors = np.full((points.shape[0], 3), 0.5, np.float32)
+        eval_ds = None
+    else:
+        if not cfg.source_path:
+            print("error: --source_path required (or --demo)")
+            return 2
+        ds, eval_ds = load_dataset(
+            cfg.source_path, cfg.dataset_type,
+            max_width=cfg.max_image_width, max_height=cfg.max_image_height,
+            eval_holdout=cfg.eval_holdout, max_images=cfg.max_image_count,
+            white_background=cfg.white_background)
+        points, colors = ds.points, ds.colors
+        if points is None:
+            # no SfM cloud (e.g. blender): random init in the camera bbox
+            rng = np.random.default_rng(cfg.seed)
+            points = rng.uniform(-1.3, 1.3, (100_000, 3)).astype(np.float32)
+            colors = rng.uniform(0, 1, (100_000, 3)).astype(np.float32)
+
+    cfg = auto_tune_config(cfg, ds.num_views)
+    phase.set(TrainingStatus.GS)
+
+    capacity = int(cfg.densify.cap_max)
+    params = init_from_points(points, colors, sh_degree=cfg.sh_degree,
+                              capacity=capacity)
+    phase.set(TrainingStatus.PREPROCESS_DONE)
+
+    model_path = cfg.model_path or "output"
+    os.makedirs(model_path, exist_ok=True)
+    trainer = Trainer(cfg, ds, params,
+                      render_kwargs={"backend": "pallas",
+                                     "instance_capacity": 1 << 20})
+
+    # resume (reference: create_splat(config, load_itr))
+    load_itr = getattr(cfg, "load_itr", -1)
+    if load_itr == -2:  # latest
+        load_itr = CK.latest_step(model_path) or -1
+    if load_itr > 0:
+        trainer.state = CK.load_checkpoint(model_path, load_itr,
+                                           trainer.state)
+        print(f"resumed from iteration_{load_itr}")
+
+    phase.set(TrainingStatus.TRAINING)
+    metrics_csv = MetricsWriter(os.path.join(model_path, "metrics.csv"))
+    start = int(np.asarray(trainer.state.opt.step))
+    pbar = tqdm(total=cfg.num_iters, initial=start, desc="train")
+
+    def callback(i, state, m):
+        step = start + i + 1
+        pbar.update(1)
+        if step % 100 == 0:
+            metrics_csv.write(step, {k: v for k, v in m.items()})
+            pbar.set_postfix(loss=f"{float(m['loss']):.4f}",
+                             alive=int(m["num_alive"]))
+        # checkpoint cadence: every checkpoint_every past warmup
+        # (gs_train.cpp:165-166)
+        if (step % cfg.checkpoint_every == 0
+                and step > cfg.densify.reset_alpha_every):
+            CK.save_checkpoint(model_path, state, step=step)
+        phase.progress = step / cfg.num_iters
+
+    trainer.run(cfg.num_iters - start, log_every=0, callback=callback)
+    pbar.close()
+    phase.set(TrainingStatus.TRAINING_DONE, 1.0)
+
+    # final save
+    CK.save_checkpoint(model_path, trainer.state, step=int(cfg.num_iters))
+    out_ply = os.path.join(model_path, "point_cloud.ply")
+    P.save_ply(out_ply, trainer.state.params,
+               antialiased=cfg.raster.mip_antialiased)
+    print(f"saved {out_ply}")
+
+    # eval PSNR on holdout
+    if eval_ds is not None:
+        tot = []
+        for i in range(eval_ds.num_views):
+            cam = jax.tree.map(lambda x: x[i], eval_ds.cameras)
+            cam = cam.replace(width=eval_ds.cameras.width,
+                              height=eval_ds.cameras.height)
+            out = render(trainer.state.params, cam, backend="pallas",
+                         instance_capacity=1 << 20)
+            gt_img = eval_ds.images[i].astype(jnp.float32) / 255.0
+            tot.append(float(psnr(out.image, gt_img)))
+        print(f"eval PSNR over {len(tot)} views: {np.mean(tot):.2f} dB")
+        metrics_csv.write(int(cfg.num_iters), {"eval_psnr": np.mean(tot)})
+    metrics_csv.close()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

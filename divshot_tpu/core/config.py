@@ -140,26 +140,37 @@ class TrainConfig:
 def auto_tune_config(cfg: TrainConfig, num_images: int) -> TrainConfig:
     """Dataset-size auto-scaling, matching the reference heuristics
     (``editor.cpp:2008-2016``): times = ceil(N/600); scale warmup, iters,
-    prune interval, and derived refine stops."""
+    prune interval, and derived refine stops. Fields the user explicitly
+    changed from their defaults are left untouched."""
+    defaults = TrainConfig()
     times = max(1, math.ceil(num_images / 600))
+
+    def keep(user, default, tuned):
+        return user if user != default else tuned
+
+    num_iters = keep(cfg.num_iters, defaults.num_iters,
+                     30_000 + 10_000 * (times - 1))
     d = dataclasses.replace(
         cfg.densify,
-        prune_interval=700_000 * times,
-        warmup_length=500 * times,
+        prune_interval=keep(cfg.densify.prune_interval,
+                            defaults.densify.prune_interval,
+                            700_000 * times),
+        warmup_length=keep(cfg.densify.warmup_length,
+                           defaults.densify.warmup_length, 500 * times),
     )
-    num_iters = 30_000 + 10_000 * (times - 1)
     d = dataclasses.replace(
         d,
-        refine_stop_iter=num_iters // 2,
-        refine_scale2d_stop_iter=num_iters // 6,
-        reset_alpha_every=30 * d.refine_every,
+        refine_stop_iter=keep(cfg.densify.refine_stop_iter,
+                              defaults.densify.refine_stop_iter,
+                              num_iters // 2),
+        refine_scale2d_stop_iter=keep(
+            cfg.densify.refine_scale2d_stop_iter,
+            defaults.densify.refine_scale2d_stop_iter, num_iters // 6),
+        reset_alpha_every=keep(cfg.densify.reset_alpha_every,
+                               defaults.densify.reset_alpha_every,
+                               30 * d.refine_every),
     )
-    return dataclasses.replace(
-        cfg,
-        num_iters=num_iters,
-        resolution_schedule=3000,
-        densify=d,
-    )
+    return dataclasses.replace(cfg, num_iters=num_iters, densify=d)
 
 
 def config_from_flags(argv: list[str] | None = None) -> TrainConfig:

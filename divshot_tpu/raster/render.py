@@ -52,10 +52,16 @@ def render(
     antialiased: bool = False,
     absgrad_sink: jax.Array | None = None,
     means2d_sink: jax.Array | None = None,
+    override_colors: jax.Array | None = None,
 ) -> RenderOutput:
     """``absgrad_sink`` / ``means2d_sink`` are zero (N, 2) inputs whose
     cotangents harvest the AbsGS absolute and the signed screen-space
-    gradients per gaussian (densification statistics)."""
+    gradients per gaussian (densification statistics).
+
+    ``override_colors`` (N, 3) replaces SH shading — used to composite
+    arbitrary per-splat quantities (depth maps, normals, ids) through the
+    same transmittance weighting (the analog of the reference's
+    Depth/Normal render types, ``gaussian_component.h:7-16``)."""
     if sh_degree is None:
         sh_degree = params.sh_degree
 
@@ -64,10 +70,13 @@ def render(
         eps2d=eps2d, antialiased=antialiased,
     )
 
-    # view-dependent color: SH evaluated along camera->splat direction
-    dirs = params.means - camera.campos[None, :]
-    dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-8)
-    colors = eval_sh_color(params.sh0, params.shN, dirs, sh_degree)
+    if override_colors is not None:
+        colors = override_colors
+    else:
+        # view-dependent color: SH evaluated along camera->splat direction
+        dirs = params.means - camera.campos[None, :]
+        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-8)
+        colors = eval_sh_color(params.sh0, params.shN, dirs, sh_degree)
 
     opac = params.effective_opacity() * proj.comp
     if background is None:

@@ -127,3 +127,115 @@ def test_blender_loader(tmp_path, rng):
     vm = np.asarray(ds.cameras.viewmat)[0]
     p = vm[:3, :3] @ np.zeros(3) + vm[:3, 3]
     assert p[2] > 0
+
+
+def test_compressed_ply_roundtrip(rng, tmp_path):
+    from divshot_tpu.gsio.compressed import (
+        save_compressed_ply, load_compressed_ply)
+    params = random_scene(rng, 600, sh_degree=3)
+    path = str(tmp_path / "m.compressed.ply")
+    save_compressed_ply(path, params, antialiased=True)
+    loaded, meta = load_compressed_ply(path)
+    assert meta["antialiased"]
+
+    # compare against Morton-reordered original (within quantization error)
+    from divshot_tpu.gsio.compressed import morton_order
+    d = params.compact_numpy()
+    order = morton_order(d["means"])
+    scene_size = d["means"].max() - d["means"].min()
+    np.testing.assert_allclose(np.asarray(loaded.means), d["means"][order],
+                               atol=scene_size / 500)
+    # quat up to sign; 10-bit quantization
+    q0 = d["quats"][order]
+    q0 /= np.linalg.norm(q0, axis=1, keepdims=True)
+    q1 = np.asarray(loaded.quats)
+    sign = np.sign(np.sum(q0 * q1, 1, keepdims=True))
+    np.testing.assert_allclose(q1, q0 * sign, atol=0.01)
+    a0 = 1 / (1 + np.exp(-d["opacity"][order]))
+    a1 = 1 / (1 + np.exp(-np.asarray(loaded.opacity)))
+    np.testing.assert_allclose(a1, a0, atol=1 / 255 + 1e-3)
+
+
+def test_spz_roundtrip(rng, tmp_path):
+    from divshot_tpu.gsio.spz import save_spz, load_spz
+    params = random_scene(rng, 400, sh_degree=3)
+    path = str(tmp_path / "m.spz")
+    save_spz(path, params, antialiased=True)
+    loaded, meta = load_spz(path)
+    assert meta["antialiased"]
+    d = params.compact_numpy()
+    np.testing.assert_allclose(np.asarray(loaded.means), d["means"],
+                               atol=2.0 ** -12 + 1e-6)
+    np.testing.assert_allclose(np.asarray(loaded.scales), d["scales"],
+                               atol=1 / 16 + 1e-6)
+    q0 = d["quats"] / np.linalg.norm(d["quats"], axis=1, keepdims=True)
+    q1 = np.asarray(loaded.quats)
+    sign = np.sign(np.sum(q0 * q1, 1, keepdims=True))
+    np.testing.assert_allclose(q1, q0 * sign, atol=0.005)
+    np.testing.assert_allclose(np.asarray(loaded.sh0), d["sh0"],
+                               atol=1 / (0.15 * 255) + 1e-5)
+    # SH rest quantized to 5/4 bits
+    np.testing.assert_allclose(np.asarray(loaded.shN), d["shN"], atol=0.07)
+
+
+def test_io_dispatch(rng, tmp_path):
+    from divshot_tpu.gsio.io import save_model, load_model
+    params = random_scene(rng, 50, sh_degree=1)
+    for name in ("a.ply", "b.splat", "c.spz", "d.compressed.ply"):
+        p = str(tmp_path / name)
+        save_model(p, params)
+        loaded, _meta = load_model(p)
+        assert loaded.capacity == 50
+
+
+def test_reduced_ply_roundtrip(rng, tmp_path):
+    from divshot_tpu.gsio.reduced import save_reduced_ply, load_reduced_ply
+    params = random_scene(rng, 300, sh_degree=3)
+    path = str(tmp_path / "m.reduced.ply")
+    save_reduced_ply(path, params, kmeans_iters=5)
+    loaded, _ = load_reduced_ply(path)
+    assert loaded.capacity == 300
+    d = params.compact_numpy()
+    # order preserved within degree buckets; positions exact f32
+    lm = np.asarray(loaded.means)
+    assert set(map(tuple, np.round(lm, 4))) == set(
+        map(tuple, np.round(d["means"], 4)))
+    # codebook quantization: opacity within coarse tolerance, matched by pos
+    order_orig = np.lexsort(d["means"].T)
+    order_load = np.lexsort(lm.T)
+    a0 = 1 / (1 + np.exp(-d["opacity"][order_orig]))
+    a1 = 1 / (1 + np.exp(-np.asarray(loaded.opacity)[order_load]))
+    assert np.abs(a0 - a1).mean() < 0.05
+
+
+def test_dvsplat_roundtrip(rng, tmp_path):
+    from divshot_tpu.gsio.dvsplat import save_dvsplat, load_dvsplat
+    params = random_scene(rng, 500, sh_degree=3)
+    path = str(tmp_path / "m.dvsplat")
+    save_dvsplat(path, params)
+    loaded, _ = load_dvsplat(path)
+    assert loaded.capacity == 500
+    d = params.compact_numpy()
+    # writer reorders splats: match loaded->original by nearest neighbor
+    from scipy.spatial import cKDTree
+    lm = np.asarray(loaded.means)
+    tree = cKDTree(d["means"])
+    dist, idx = tree.query(lm)
+    scene = d["means"].max() - d["means"].min()
+    assert dist.max() < scene / 200, f"position error {dist.max()}"
+    assert len(np.unique(idx)) > 0.95 * len(lm)  # near-bijective match
+    np.testing.assert_allclose(
+        np.asarray(loaded.scales), d["scales"][idx], atol=0.1)
+
+
+def test_kmeans_1d(rng):
+    from divshot_tpu.gsio.kmeans import kmeans_1d
+    import jax.numpy as jnp
+    # three well-separated clusters -> centers recover them
+    vals = np.concatenate([rng.normal(-5, 0.1, 1000),
+                           rng.normal(0, 0.1, 1000),
+                           rng.normal(5, 0.1, 1000)]).astype(np.float32)
+    centers, ids = kmeans_1d(jnp.asarray(vals), k=8, iters=15)
+    centers = np.asarray(centers)
+    recon = centers[np.asarray(ids)]
+    assert np.abs(recon - vals).mean() < 0.15

@@ -1,0 +1,62 @@
+"""Viewer tests: keyframe interpolation, offscreen render, MJPEG export."""
+
+import os
+
+import numpy as np
+
+from divshot_tpu.viewer.keyframes import CameraKeyFrame, KeyFrameTimeline
+from divshot_tpu.viewer.offline import render_path, render_views
+from divshot_tpu.viewer.video import MJPEGWriter
+from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras
+
+
+def make_timeline():
+    tl = KeyFrameTimeline()
+    for i, t in enumerate([0.0, 1.0, 2.0]):
+        a = t * np.pi / 4
+        tl.add(CameraKeyFrame(
+            time=t, quat=np.array([np.cos(a / 2), 0, np.sin(a / 2), 0]),
+            pos=np.array([np.sin(a) * 4, 0, -np.cos(a) * 4]),
+            fov_y_deg=50 + 10 * i))
+    return tl
+
+
+def test_keyframe_interpolation():
+    tl = make_timeline()
+    kf = tl.sample(0.5)
+    assert 0 < kf.fov_y_deg - 50 < 10
+    assert np.isclose(np.linalg.norm(kf.quat), 1, atol=1e-6)
+    # endpoints exact
+    np.testing.assert_allclose(tl.sample(0.0).pos, tl.frames[0].pos)
+    np.testing.assert_allclose(tl.sample(2.0).pos, tl.frames[-1].pos)
+    # camera_at produces a valid camera looking roughly at the scene
+    cam = tl.camera_at(1.0, 64, 64)
+    assert cam.width == 64
+
+
+def test_render_path_video(rng, tmp_path):
+    params = random_scene(rng, 150, sh_degree=0)
+    tl = make_timeline()
+    video = str(tmp_path / "fly.avi")
+    frames = render_path(params, tl, width=64, height=64, fps=4,
+                         video_path=video, tile_capacity=256,
+                         instance_capacity=1 << 13)
+    assert len(frames) == 9
+    assert os.path.getsize(video) > 1000
+    raw = open(video, "rb").read()
+    assert raw[:4] == b"RIFF" and raw[8:12] == b"AVI "
+    # frames differ as the camera moves
+    assert np.abs(frames[0] - frames[-1]).mean() > 1e-3
+
+
+def test_render_views_pngs(rng, tmp_path):
+    params = random_scene(rng, 100, sh_degree=0)
+    cams = orbit_cameras(3, width=48)
+    out = str(tmp_path / "shots")
+    imgs = render_views(params, cams, out_dir=out, tile_capacity=256,
+                        instance_capacity=1 << 13)
+    assert len(imgs) == 3
+    assert sorted(os.listdir(out)) == ["00000.png", "00001.png", "00002.png"]
+    from PIL import Image
+    im = Image.open(os.path.join(out, "00000.png"))
+    assert im.size == (48, 48)
