@@ -117,6 +117,8 @@ class TrainConfig:
     # losses
     ssim_weight: float = 0.2
     normal_consistency_loss: bool = False  # 2DGS/SuGaR-style; forced by export_mesh
+    normal_loss_weight: float = 0.05       # 2DGS lambda_n
+    normal_start_iter: int = 7000          # 2DGS: normals supervised late
     dist_loss_weight: float = 0.0
     pixel_grad_scale: float = 0.0     # pixelgs per-pixel gradient scaling
 

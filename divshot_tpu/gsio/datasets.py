@@ -96,6 +96,7 @@ def load_blender_dataset(
         frames = frames[:max_images]
 
     cameras, images = [], []
+    times = []
     for fr in frames:
         fp = fr["file_path"]
         path = os.path.join(source, fp)
@@ -116,8 +117,13 @@ def load_blender_dataset(
         cameras.append(Camera.from_Rt(
             w2c[:3, :3], w2c[:3, 3], fx, fy, w / 2, h / 2, w, h))
         images.append((arr * 255).astype(np.uint8))
+        if "time" in fr:   # D-NeRF dynamic scenes
+            times.append(float(fr["time"]))
 
-    return Dataset.from_views(cameras, np.stack(images))
+    ds = Dataset.from_views(cameras, np.stack(images))
+    if times and len(times) == len(cameras):
+        ds.times = np.asarray(times, np.float32)
+    return ds
 
 
 def load_dataset(source: str, dataset_type: str = "auto", **kw):

@@ -74,8 +74,8 @@ def render(
         colors = override_colors
     else:
         # view-dependent color: SH evaluated along camera->splat direction
-        dirs = params.means - camera.campos[None, :]
-        dirs = dirs / jnp.linalg.norm(dirs, axis=-1, keepdims=True).clip(1e-8)
+        from divshot_tpu.splat.math import safe_normalize
+        dirs = safe_normalize(params.means - camera.campos[None, :])
         colors = eval_sh_color(params.sh0, params.shN, dirs, sh_degree)
 
     opac = params.effective_opacity() * proj.comp

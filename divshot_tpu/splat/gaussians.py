@@ -105,15 +105,22 @@ class GaussianParams:
         shN = mk(shN, (n_sh, 3)) if n_sh else jnp.zeros((n, 0, 3), jnp.float32)
         alive = jnp.ones((n,), bool)
 
-        def pad(x):
+        def pad(x, fill=0.0):
             if cap == n:
                 return x
             pad_width = [(0, cap - n)] + [(0, 0)] * (x.ndim - 1)
-            return jnp.pad(x, pad_width)
+            return jnp.pad(x, pad_width, constant_values=fill)
 
+        # padded (dead) slots must stay numerically benign: identity quats
+        # (zero quats have NaN normalize grads), far-negative opacity logits
+        quats_pad = pad(quats_)
+        if cap > n:
+            quats_pad = quats_pad.at[n:, 0].set(1.0)
         return cls(
-            means=pad(means), scales=pad(scales), quats=pad(quats_),
-            opacity=pad(opacity_), sh0=pad(sh0), shN=pad(shN), alive=pad(alive),
+            means=pad(means), scales=pad(scales, float(np.log(0.01))),
+            quats=quats_pad,
+            opacity=pad(opacity_, -15.0), sh0=pad(sh0), shN=pad(shN),
+            alive=pad(alive),
         )
 
     def compact_numpy(self) -> dict[str, np.ndarray]:

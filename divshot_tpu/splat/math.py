@@ -17,7 +17,10 @@ def quat_to_rotmat(quats: jnp.ndarray, normalize: bool = True) -> jnp.ndarray:
     Matches ``gsplat_vs.hlsl:189-205`` (r=q.w-component first).
     """
     if normalize:
-        quats = quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-8)
+        # sqrt(max(s, eps)) keeps the backward finite at q == 0 (padded
+        # slots) — jnp.linalg.norm's vjp is NaN exactly at zero
+        s = jnp.sum(quats * quats, axis=-1, keepdims=True)
+        quats = quats / jnp.sqrt(jnp.maximum(s, 1e-12))
     w, x, y, z = (quats[..., i] for i in range(4))
     r00 = 1 - 2 * (y * y + z * z)
     r01 = 2 * (x * y - w * z)
@@ -62,8 +65,15 @@ def cov3d_packed(log_scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    """Unit-normalize with a NaN-free vjp at x == 0 (sqrt(max(s, eps)))."""
+    s = jnp.sum(x * x, axis=-1, keepdims=True)
+    return x / jnp.sqrt(jnp.maximum(s, eps))
+
+
 def normalize_quats(quats: jnp.ndarray) -> jnp.ndarray:
-    return quats / jnp.linalg.norm(quats, axis=-1, keepdims=True).clip(1e-8)
+    s = jnp.sum(quats * quats, axis=-1, keepdims=True)
+    return quats / jnp.sqrt(jnp.maximum(s, 1e-12))
 
 
 def rotmat_to_quat(R: jnp.ndarray) -> jnp.ndarray:

@@ -34,6 +34,7 @@ class TrainState:
     opt: AdamState
     dstate: S.DensifyState
     key: jax.Array
+    bg: Any = None   # {"params", "mu", "nu"} envmap state when enable_bg
 
     @property
     def step(self) -> jax.Array:
@@ -50,6 +51,8 @@ class Dataset:
     colors: np.ndarray | None = None
     eval_cameras: Camera | None = None
     eval_images: jax.Array | None = None
+    times: np.ndarray | None = None    # (V,) in [0,1] — dynamic datasets
+    masks: jax.Array | None = None     # (V, H, W) float/u8 — useMask
 
     @property
     def num_views(self) -> int:
@@ -104,6 +107,11 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         batched = view_idx.ndim == 1
         cameras = jax.tree.map(lambda x: x[view_idx], dataset.cameras)
         gts = dataset.images[view_idx].astype(jnp.float32) / 255.0
+        masks = None
+        if dataset.masks is not None:
+            masks = dataset.masks[view_idx].astype(jnp.float32)
+            if masks.dtype == jnp.float32 and dataset.masks.dtype == jnp.uint8:
+                masks = masks / 255.0
 
         key, k_refine, k_noise = jax.random.split(state.key, 3)
         step = state.opt.step
@@ -111,30 +119,74 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         shmask = sh_band_mask(state.params.shN.shape[1], deg)
         cap = state.params.capacity
 
-        def one_view(fields, abs_sink, m2d_sink, camera, gt):
+        def one_view(fields, bg_p, abs_sink, m2d_sink, camera, gt, mask):
             p = state.params.replace(**fields)
             p = p.replace(shN=p.shN * shmask)
+            if cfg.model_type == 1:   # 2DGS: surfel splats
+                from divshot_tpu.train import geometry as G
+                p = G.flatten_to_surfels(p)
             camera = camera.replace(width=W, height=H)
-            out = render(p, camera, background=bg, absgrad_sink=abs_sink,
+            out = render(p, camera,
+                         background=jnp.zeros((3,)) if cfg.enable_bg else bg,
+                         absgrad_sink=abs_sink,
                          means2d_sink=m2d_sink, **rk)
-            loss = photometric_loss(out.image, gt, cfg.ssim_weight)
+            img = out.image
+            if cfg.enable_bg:
+                from divshot_tpu.models.background import render_background
+                bg_px = render_background(bg_p, camera)
+                img = img + (1.0 - out.alpha)[..., None] * bg_px
+            if mask is not None:
+                img = img * mask[..., None]
+                gt = gt * mask[..., None]
+            loss = photometric_loss(img, gt, cfg.ssim_weight)
+            out = out._replace(image=img) if hasattr(out, "_replace") else out
+            if cfg.normal_consistency_loss or cfg.model_type == 1:
+                from divshot_tpu.train import geometry as G
+                Rv = camera.viewmat[:3, :3]
+                tz = camera.viewmat[2, 3]
+                z = jnp.einsum("nj,j->n", p.means, Rv[2],
+                               precision="highest") + tz
+                # camera-space normals; camera-facing => nz < 0, so nz is
+                # recoverable from (nx, ny) and one aux composite suffices
+                n_world = G.splat_normals(p, camera)
+                n_cam = jnp.einsum("nj,ij->ni", n_world, Rv,
+                                   precision="highest")
+                aux = jnp.concatenate([z[:, None], n_cam[:, :2]], axis=1)
+                out_aux = render(p, camera, override_colors=aux, **rk)
+                alpha_s = jnp.maximum(out_aux.alpha, 1e-6)
+                depth = out_aux.image[..., 0] / alpha_s
+                nx = out_aux.image[..., 1] / alpha_s
+                ny = out_aux.image[..., 2] / alpha_s
+                nz = -jnp.sqrt(jnp.clip(1.0 - nx ** 2 - ny ** 2, 1e-6, 1.0))
+                n_render = jnp.stack([nx, ny, nz], -1)
+                nloss = G.normal_consistency_loss(
+                    n_render, depth, out_aux.alpha, camera)
+                w = jnp.where(step >= cfg.normal_start_iter,
+                              cfg.normal_loss_weight, 0.0)
+                loss = loss + w * nloss
             return loss, (out.image, out.proj.radii)
 
+        bg_p = state.bg["params"] if cfg.enable_bg \
+            else jnp.zeros((1, 1, 3), jnp.float32)
+
         if batched:
-            def loss_fn(fields, abs_sink, m2d_sink):
+            def loss_fn(fields, bg_p, abs_sink, m2d_sink):
                 losses, aux = jax.vmap(
-                    one_view, in_axes=(None, None, None, 0, 0))(
-                        fields, abs_sink, m2d_sink, cameras, gts)
+                    one_view, in_axes=(None, None, None, None, 0, 0,
+                                       0 if masks is not None else None))(
+                        fields, bg_p, abs_sink, m2d_sink, cameras, gts, masks)
                 return jnp.mean(losses), aux
         else:
-            def loss_fn(fields, abs_sink, m2d_sink):
-                return one_view(fields, abs_sink, m2d_sink, cameras, gts)
+            def loss_fn(fields, bg_p, abs_sink, m2d_sink):
+                return one_view(fields, bg_p, abs_sink, m2d_sink, cameras,
+                                gts, masks)
 
         fields = {f: getattr(state.params, f) for f in PARAM_FIELDS}
         zeros2 = jnp.zeros((cap, 2), jnp.float32)
         (loss, (img, radii)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True)(fields, zeros2, zeros2)
-        g_fields, g_abs, g_m2d = grads
+            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                fields, bg_p, zeros2, zeros2)
+        g_fields, g_bg, g_abs, g_m2d = grads
         if batched:
             img = img[0]
             radii = jnp.max(radii, axis=0)  # visible in any view of the batch
@@ -172,12 +224,22 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         else:
             params = S.mcmc_noise(dcfg, cfg.optim, params, k_noise, step, extent)
 
+        new_bg = state.bg
+        if cfg.enable_bg:
+            b1b, b2b, lr_bg = 0.9, 0.999, 0.01
+            mu = state.bg["mu"] * b1b + (1 - b1b) * g_bg
+            nu = state.bg["nu"] * b2b + (1 - b2b) * g_bg * g_bg
+            new_bg = {"params": state.bg["params"]
+                      - lr_bg * mu / (jnp.sqrt(nu) + 1e-8),
+                      "mu": mu, "nu": nu}
+
         metrics = {
             "loss": loss,
             "psnr": psnr(img, gt),
             "num_alive": jnp.sum(params.alive.astype(jnp.int32)),
         }
-        return TrainState(params=params, opt=opt, dstate=dstate, key=key), metrics
+        return TrainState(params=params, opt=opt, dstate=dstate, key=key,
+                          bg=new_bg), metrics
 
     return train_step
 
@@ -192,11 +254,19 @@ class Trainer:
                  render_kwargs: dict[str, Any] | None = None):
         self.cfg = cfg
         self.dataset = dataset
+        bg_state = None
+        if cfg.enable_bg:
+            from divshot_tpu.models.background import init_envmap
+            env = init_envmap(
+                init_color=(1, 1, 1) if cfg.white_background else (0, 0, 0))
+            bg_state = {"params": env, "mu": jnp.zeros_like(env),
+                        "nu": jnp.zeros_like(env)}
         self.state = TrainState(
             params=params,
             opt=AdamState.init(params),
             dstate=S.DensifyState.init(params.capacity),
             key=jax.random.PRNGKey(cfg.seed),
+            bg=bg_state,
         )
         self._step_fn = jax.jit(
             make_train_step(cfg, dataset, render_kwargs), donate_argnums=(0,))

@@ -97,3 +97,52 @@ def test_strategy_shapes_static(rng):
         )(params, opt, dstate, jax.random.PRNGKey(0))
         assert p2.means.shape == params.means.shape
         assert int(p2.alive.sum()) > 0
+
+
+def test_2dgs_with_normal_loss(rng):
+    """modelType=1 (2DGS surfels) + normal consistency loss trains stably."""
+    from divshot_tpu.core.config import ModelType
+    cfg, ds, params = small_setup(rng, DensifyStrategy.ADC_PLUS, res=48,
+                                  n_views=6)
+    cfg = cfg.replace(model_type=ModelType.GS2D,
+                      normal_consistency_loss=True,
+                      normal_start_iter=0)
+    tr, losses = run_short(cfg, ds, params, iters=60)
+    assert np.isfinite(losses).all()
+    assert np.mean(losses[-10:]) < np.mean(losses[:10])
+
+
+def test_normals_from_depth_plane(rng):
+    """Depth of a fronto-parallel plane -> normals straight at the camera."""
+    from divshot_tpu.train.geometry import normals_from_depth
+    from divshot_tpu.gsio.synthetic import orbit_cameras
+    cam = orbit_cameras(1, width=32)[0]
+    depth = jnp.full((32, 32), 3.0)
+    alpha = jnp.ones((32, 32))
+    n = np.asarray(normals_from_depth(depth, cam, alpha))
+    inner = n[4:-4, 4:-4]
+    np.testing.assert_allclose(inner[..., 2], -1.0, atol=1e-4)
+
+
+def test_enable_bg_training(rng):
+    """Learnable environment background: train a scene composited over a
+    non-trivial sky; envmap must move toward the data."""
+    cfg, ds, params = small_setup(rng, DensifyStrategy.ADC_PLUS, res=48,
+                                  n_views=6)
+    cfg = cfg.replace(enable_bg=True)
+    tr, losses = run_short(cfg, ds, params, iters=80)
+    assert np.isfinite(losses).all()
+    assert tr.state.bg is not None
+    # bg params received updates
+    assert float(jnp.abs(tr.state.bg["mu"]).sum()) > 0
+
+
+def test_masked_training(rng):
+    cfg, ds, params = small_setup(rng, DensifyStrategy.ADC_PLUS, res=48,
+                                  n_views=4)
+    masks = np.ones((ds.num_views, 48, 48), np.float32)
+    masks[:, :, :24] = 0.0   # ignore the left half
+    ds.masks = jnp.asarray(masks)
+    tr, losses = run_short(cfg, ds, params, iters=40)
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
