@@ -59,6 +59,11 @@ def read_cameras_bin(path: str) -> dict[int, ColmapCamera]:
 
 
 def read_images_bin(path: str) -> dict[int, ColmapImage]:
+    from divshot_tpu.core import native
+    res = native.parse_images_bin(open(path, "rb").read())
+    if res is not None:
+        return {iid: ColmapImage(name, cid, q, t)
+                for iid, q, t, cid, name in res}
     out = {}
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
@@ -80,6 +85,10 @@ def read_images_bin(path: str) -> dict[int, ColmapImage]:
 
 
 def read_points3d_bin(path: str) -> tuple[np.ndarray, np.ndarray]:
+    from divshot_tpu.core import native
+    res = native.parse_points3d_bin(open(path, "rb").read())
+    if res is not None:
+        return res
     with open(path, "rb") as f:
         (n,) = _read(f, "<Q")
         pts = np.empty((n, 3), np.float64)

@@ -32,7 +32,12 @@ VERTEX_PROPS = ["packed_position", "packed_rotation", "packed_scale",
 
 def morton_order(pos: np.ndarray) -> np.ndarray:
     """Sort order by 21-bit-per-axis interleaved Morton code
-    (tiny_gsplat.cpp:306-328)."""
+    (tiny_gsplat.cpp:306-328). Uses the multithreaded C++ coder when the
+    native module is available."""
+    from divshot_tpu.core import native
+    codes = native.morton_codes(np.asarray(pos, np.float32))
+    if codes is not None:
+        return np.argsort(codes, kind="stable")
     pmin = pos.min(0)
     pmax = pos.max(0)
     rel = (pos - pmin) / np.where(pmax - pmin > 0, pmax - pmin, 1.0)
