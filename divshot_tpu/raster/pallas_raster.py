@@ -2,34 +2,31 @@
 
 TPU-native replacement for the CUDA tile rasterizer (the closed trainer's
 ``gsplatrast``; tile structure evidenced at ``gaussian_common.hlsl``
-GROUP_WIDTH/HEIGHT=16). Key reformulation: per-pixel front-to-back alpha
-compositing is an *associative* operation, so per-tile instance lists are
-processed in 256-instance chunks whose prefix transmittances come from one
-MXU matmul against a constant triangular matrix in log space — no
-sequential per-gaussian loop, no atomics.
+GROUP_WIDTH/HEIGHT=16). Design notes:
 
-Early-stop is EXACT CUDA parity without sequential control flow: with
-q_i = T_in·Π_{j≤i}(1-α_j) (unmasked running product), the applied set is
-exactly {i : q_i ≥ 1e-4} (a prefix, q monotone), and for applied i the true
-exclusive transmittance equals the unmasked prefix. Same derivation as the
-XLA path (tiles.py).
-
-Layout (Mosaic alignment rules, probed on v5e):
-  - instance table: (num_blocks, 16, 256) f32 — feature rows
-    [u v a b c r g b op], instances on lanes; whole (16, 256) blocks DMA'd.
-  - tile ranges aligned to 256 (tiles.align_instances) so every block
-    belongs to exactly one tile — forward DMAs and backward per-block
-    gradient writes are tile-exclusive.
-  - compute orientation: pixels on sublanes (256 = 16×16 tile), instances
-    on lanes (256).
-  - per-tile outputs (1, 8, 256): rows r,g,b, T — written via one
-    (256, 8) -> (8, 256) transpose.
-
-The backward runs two passes per tile: a cheap forward replay stashing
-per-chunk entry transmittances in VMEM, then a reverse sweep computing
-dL/d{mean2d, conic, color, opacity} per instance (suffix color sums via a
-strict-upper-triangular MXU matmul), written to a per-block gradient table
-and segment-summed to gaussians in XLA.
+- **Feature-major instance table** ``(FEAT, I)``: instances live on lanes in
+  depth-sorted order (from ``tiles.bin_gaussians``); kernels DMA 256-lane
+  blocks. Tile ranges need no alignment: a tile's first partial block is
+  lane-masked on read, and its gradients go to a small per-tile *boundary
+  block* output that XLA scatter-adds back — every full block is written by
+  exactly one tile, so there are no write hazards and no instance
+  re-layout pass.
+- **Compositing without sequential control flow**: per 256-instance chunk,
+  prefix transmittances come from a Hillis-Steele prefix product over lanes
+  (8 shifted multiplies — VPU-cheap). Early-stop keeps exact CUDA
+  semantics: with q_i = T_in·prod_{j<=i}(1-a_j) (unmasked running product),
+  the applied set is exactly {i : q_i >= 1e-4} — a prefix, since q is
+  monotone — and for applied i the unmasked prefix equals the true
+  exclusive transmittance.
+- **Single-pass backward, forward order**: the CUDA reference walks
+  back-to-front because atomics force it to; here the suffix color sum is
+  recovered as ``rear_i = C_final - C_incl,i`` from the forward's output
+  accumulator, so the backward is one front-to-back sweep with the same
+  early stop — no replay pass, no transmittance stash.
+- Per-instance gradients land in a ``(NGRAD, I)`` table and are
+  segment-reduced to gaussians in expansion order (contiguous per
+  gaussian): one permutation gather + a cumsum + boundary diffs — no
+  scatter-add over millions of rows.
 """
 
 from __future__ import annotations
@@ -49,18 +46,11 @@ T_EPS = 1e-4
 BLK = 256            # instances per block (= lanes)
 FEAT = 16            # feature rows: u v a b c r g b op (7 pad)
 NGRAD = 16           # grad rows: du dv da db dc dr dg db dop |du| |dv| (5 pad)
-MAX_CHUNKS = 128     # max blocks per tile in backward T-stash
-
-
-def _tri_lower(px: int = BLK):
-    ii = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-    return (ii <= jj).astype(jnp.float32)
 
 
 def _prefix_prod_lanes(x):
     """Inclusive prefix product along the lane axis (Hillis-Steele,
-    log2(BLK) shift-multiplies — far cheaper than the MXU triangular
+    log2(BLK) shift-multiplies — far cheaper than an MXU triangular
     matmul and needs no log/exp round trip)."""
     d = 1
     n = x.shape[1]
@@ -71,23 +61,15 @@ def _prefix_prod_lanes(x):
     return x
 
 
-def _suffix_sum_lanes(x):
-    """Strict suffix sum along lanes: out[:, i] = sum_{j>i} x[:, j]."""
-    # inclusive suffix sum then subtract self
-    y = x
+def _prefix_sum_lanes(x):
+    """Inclusive prefix sum along the lane axis."""
     d = 1
     n = x.shape[1]
     while d < n:
-        y = y + jnp.concatenate(
-            [y[:, d:], jnp.zeros_like(y[:, :d])], axis=1)
+        x = x + jnp.concatenate(
+            [jnp.zeros_like(x[:, :d]), x[:, :-d]], axis=1)
         d *= 2
-    return y - x
-
-
-def _tri_upper_strict():
-    ii = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
-    jj = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
-    return (ii > jj).astype(jnp.float32)
+    return x
 
 
 def _pixel_grid(tile_size: int, t, tiles_x: int):
@@ -123,16 +105,17 @@ def _chunk_geometry(buf, gx, gy, gid_lo, gid_hi):
 def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
                     *, tile_size: int, tiles_x: int):
     t = pl.program_id(0)
-    start = tile_start_ref[t]          # multiples of BLK (aligned)
-    end = tile_start_ref[t + 1]
+    s = tile_start_ref[t]
+    e = tile_start_ref[t + 1]
+    b0 = s // BLK
     px = tile_size * tile_size
     gx, gy = _pixel_grid(tile_size, t, tiles_x)
-    tri = _tri_lower()
-    nchunks = pl.cdiv(end - start, BLK)
+    nchunks = jnp.where(e > s, pl.cdiv(e - b0 * BLK, BLK), 0)
 
     def dma(c):
         return pltpu.make_async_copy(
-            inst_hbm.at[start // BLK + c], scratch.at[c % 2], sem.at[c % 2])
+            inst_hbm.at[:, pl.ds((b0 + c) * BLK, BLK)],
+            scratch.at[c % 2], sem.at[c % 2])
 
     @pl.when(nchunks > 0)
     def _():
@@ -147,11 +130,11 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
 
         dma(c).wait()
         buf = scratch[c % 2]
+        base = (b0 + c) * BLK
         alpha, _, _, _ = _chunk_geometry(
-            buf, gx, gy, 0, end - (start + c * BLK))
+            buf, gx, gy, jnp.maximum(s - base, 0), e - base)
         one_m = 1.0 - alpha
-        L = jnp.log(one_m)
-        incl = jnp.exp(jnp.dot(L, tri, preferred_element_type=jnp.float32))
+        incl = _prefix_prod_lanes(one_m)
         q_incl = T_px * incl
         applied = q_incl >= T_EPS
         w = jnp.where(applied, alpha * T_px * (incl / one_m), 0.0)
@@ -191,19 +174,20 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
     out_ref[0, :, :] = packed.T                   # (8, px)
 
 
-def build_instance_table(means2d, conics, colors, opacities,
-                         inst_gauss) -> jax.Array:
-    """(num_blocks, FEAT, BLK) f32 feature blocks in aligned sorted order."""
+def build_feature_table(means2d, conics, colors, opacities,
+                        inst_gauss) -> jax.Array:
+    """(FEAT, I) f32 feature-major table in depth-sorted instance order.
+    One lane-gather of the per-gaussian feature matrix — the only
+    per-instance random memory op in the forward."""
     n = means2d.shape[0]
+    featT = jnp.concatenate([
+        means2d.T, conics.T, colors.T, opacities[None, :],
+        jnp.zeros((FEAT - 9, n), jnp.float32),
+    ], axis=0)                                    # (FEAT, N)
     safe = jnp.clip(inst_gauss, 0, n - 1)
-    op = jnp.where(inst_gauss >= 0, opacities[safe], 0.0)
-    feat = jnp.concatenate([
-        means2d[safe], conics[safe], colors[safe], op[:, None],
-    ], axis=1)                                    # (I, 9)
-    i = feat.shape[0]
-    assert i % BLK == 0, "aligned instance buffer must be BLK-multiple"
-    feat = jnp.pad(feat, ((0, 0), (0, FEAT - feat.shape[1])))
-    return feat.reshape(i // BLK, BLK, FEAT).transpose(0, 2, 1)
+    tab = jnp.take(featT, safe, axis=1)           # (FEAT, I)
+    op = jnp.where(inst_gauss >= 0, tab[8], 0.0)
+    return jax.lax.dynamic_update_slice(tab, op[None, :], (8, 0))
 
 
 def _tiles_to_image(rows: jax.Array, tiles_x: int, tiles_y: int,
@@ -230,15 +214,15 @@ def _image_to_tiles(img: jax.Array, tiles_x: int, tiles_y: int,
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "tile_size", "interpret"))
 def rasterize_forward(
-    inst_table: jax.Array,     # (nb, FEAT, BLK)
-    tile_start: jax.Array,     # (T+1,) int32, BLK-aligned
+    inst_table: jax.Array,     # (FEAT, I)
+    tile_start: jax.Array,     # (T+1,) int32 raw sorted offsets
     *,
     width: int,
     height: int,
     tile_size: int = 16,
     interpret: bool = False,
-) -> tuple[jax.Array, jax.Array]:
-    """-> (rgb (H, W, 3), transmittance T (H, W))."""
+) -> jax.Array:
+    """-> per-tile rows (T, 8, px): [r g b T ...] pre-background."""
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
     num_tiles = tiles_x * tiles_y
@@ -247,7 +231,7 @@ def rasterize_forward(
     kernel = functools.partial(
         _forward_kernel, tile_size=tile_size, tiles_x=tiles_x)
 
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -262,101 +246,74 @@ def rasterize_forward(
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((num_tiles, 8, px), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(tile_start, inst_table)
-
-    img = _tiles_to_image(out[:, 0:3, :], tiles_x, tiles_y, tile_size,
-                          width, height)
-    T_px = _tiles_to_image(out[:, 3:4, :], tiles_x, tiles_y, tile_size,
-                           width, height)[..., 0]
-    return img, T_px
 
 
 # ---------------------------------------------------------------------------
 # Backward
 
 
-def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, grad_hbm,
-                     scratch, gscratch, tstash, sem, gsem,
+def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
+                     grad_hbm, bnd_ref, scratch, gscratch, sem, gsem,
                      *, tile_size: int, tiles_x: int):
-    """Per tile: pass 1 replays the forward stashing per-chunk entry
-    transmittance; pass 2 walks chunks in reverse emitting per-instance
-    gradients into grad_hbm blocks (same block indexing as inst blocks).
+    """One front-to-back sweep per tile. The suffix color sum ("rear") is
+    recovered from the forward's final accumulator: rear_i = C_fin - C_incl,i.
 
-    cot_ref: auto-blocked (1, 8, px) rows [g_r g_g g_b g_T]
-    (g_T = g_alpha − g_img·bg, combined in XLA)."""
+    cot_ref: (1, 8, px) rows [g_r g_g g_b g_T] (g_T = g_alpha - g_img.bg).
+    fwd_ref: (1, 8, px) forward output rows [C_r C_g C_b T_final].
+    Gradient rows for a tile's first partial block go to ``bnd_ref`` (the
+    per-tile boundary block); all full blocks are tile-exclusive writes to
+    ``grad_hbm``."""
     t = pl.program_id(0)
-    start = tile_start_ref[t]
-    end = tile_start_ref[t + 1]
+    s = tile_start_ref[t]
+    e = tile_start_ref[t + 1]
+    b0 = s // BLK
     px = tile_size * tile_size
     gx, gy = _pixel_grid(tile_size, t, tiles_x)
-    tri = _tri_lower()
-    triu = _tri_upper_strict()
+    nchunks = jnp.where(e > s, pl.cdiv(e - b0 * BLK, BLK), 0)
+    # chunk 0 is boundary-owned when the tile range starts mid-block
+    first_main = jnp.where(s % BLK == 0, 0, 1)
 
-    total_chunks = pl.cdiv(end - start, BLK)
-    nchunks = jnp.minimum(total_chunks, MAX_CHUNKS)
+    bnd_ref[0] = jnp.zeros((NGRAD, BLK), jnp.float32)
 
-    # ---- pass 1: forward replay, stash T at chunk entry ----
-    def body1(state):
-        c, T_px = state
-        tstash[pl.ds(c, 1), :] = T_px.T
-        b = start // BLK + c
-        cp = pltpu.make_async_copy(inst_hbm.at[b], scratch, sem)
-        cp.start()
-        cp.wait()
-        alpha, _, _, _ = _chunk_geometry(
-            scratch[:], gx, gy, 0, end - (start + c * BLK))
-        one_m = 1.0 - alpha
-        L = jnp.log(one_m)
-        incl = jnp.exp(jnp.dot(L, tri, preferred_element_type=jnp.float32))
-        q_incl = T_px * incl
-        applied = q_incl >= T_EPS
-        T_px = jnp.min(jnp.where(applied, q_incl, T_px), axis=1,
-                       keepdims=True)
-        return c + 1, T_px
-
-    def cond1(state):
-        c, T_px = state
-        return (c < nchunks) & (jnp.max(T_px) >= T_EPS)
-
-    c_done, T_final = jax.lax.while_loop(
-        cond1, body1, (jnp.int32(0), jnp.ones((px, 1), jnp.float32)))
-
-    # cotangents for this tile (px to sublanes)
-    g_r = cot_ref[0, 0:1, :].T
+    g_r = cot_ref[0, 0:1, :].T                     # (px, 1)
     g_g = cot_ref[0, 1:2, :].T
     g_b = cot_ref[0, 2:3, :].T
     g_T = cot_ref[0, 3:4, :].T
+    C_fr = fwd_ref[0, 0:1, :].T
+    C_fg = fwd_ref[0, 1:2, :].T
+    C_fb = fwd_ref[0, 2:3, :].T
+    T_fin = fwd_ref[0, 3:4, :].T
 
-    # zero the grad blocks pass 2 will not visit (early-stopped tail)
-    def zbody(c, _):
-        b = start // BLK + c
-        gscratch[:] = jnp.zeros((NGRAD, BLK), jnp.float32)
-        cp = pltpu.make_async_copy(gscratch, grad_hbm.at[b], gsem)
-        cp.start()
-        cp.wait()
-        return 0
+    def dma(c):
+        return pltpu.make_async_copy(
+            inst_hbm.at[:, pl.ds((b0 + c) * BLK, BLK)],
+            scratch.at[c % 2], sem.at[c % 2])
 
-    jax.lax.fori_loop(c_done, total_chunks, zbody, 0)
+    @pl.when(nchunks > 0)
+    def _():
+        dma(0).start()
 
-    # ---- pass 2: reverse sweep ----
-    def body2(k, carry):
-        rear_r, rear_g, rear_b = carry
-        c = c_done - 1 - k
-        b = start // BLK + c
-        cp = pltpu.make_async_copy(inst_hbm.at[b], scratch, sem)
-        cp.start()
-        cp.wait()
-        buf = scratch[:]
-        T_in = tstash[pl.ds(c, 1), :].T               # (px, 1)
+    def body(c, carry):
+        T_px, Cr, Cg, Cb = carry
+
+        @pl.when(c + 1 < nchunks)
+        def _():
+            dma(c + 1).start()
+
+        dma(c).wait()
+        buf = scratch[c % 2]
+        base = (b0 + c) * BLK
         alpha, dx, dy, power = _chunk_geometry(
-            buf, gx, gy, 0, end - (start + c * BLK))
+            buf, gx, gy, jnp.maximum(s - base, 0), e - base)
         one_m = 1.0 - alpha
-        L = jnp.log(one_m)
-        incl = jnp.exp(jnp.dot(L, tri, preferred_element_type=jnp.float32))
-        q_incl = T_in * incl
+        incl = _prefix_prod_lanes(one_m)
+        q_incl = T_px * incl
         applied = q_incl >= T_EPS
-        T_excl = T_in * (incl / one_m)
+        T_excl = T_px * (incl / one_m)
         w = jnp.where(applied, alpha * T_excl, 0.0)
 
         cr = buf[5:6, :]
@@ -365,16 +322,15 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, grad_hbm,
         wc_r = w * cr
         wc_g = w * cg
         wc_b = w * cb2
-        # rear_i = rear_carry + Σ_{j>i in chunk} wc_j  (strict suffix)
-        suf_r = jnp.dot(wc_r, triu, preferred_element_type=jnp.float32)
-        suf_g = jnp.dot(wc_g, triu, preferred_element_type=jnp.float32)
-        suf_b = jnp.dot(wc_b, triu, preferred_element_type=jnp.float32)
+        rear_r = C_fr - (Cr + _prefix_sum_lanes(wc_r))
+        rear_g = C_fg - (Cg + _prefix_sum_lanes(wc_g))
+        rear_b = C_fb - (Cb + _prefix_sum_lanes(wc_b))
         inv_om = 1.0 / one_m
         d_alpha = (
-            g_r * (cr * T_excl - (rear_r + suf_r) * inv_om)
-            + g_g * (cg * T_excl - (rear_g + suf_g) * inv_om)
-            + g_b * (cb2 * T_excl - (rear_b + suf_b) * inv_om)
-            + g_T * T_final * inv_om)
+            g_r * (cr * T_excl - rear_r * inv_om)
+            + g_g * (cg * T_excl - rear_g * inv_om)
+            + g_b * (cb2 * T_excl - rear_b * inv_om)
+            + g_T * T_fin * inv_om)
         live = applied & (alpha > 0.0) & (alpha < ALPHA_MAX)
         d_alpha = jnp.where(live, d_alpha, 0.0)
 
@@ -394,55 +350,90 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, grad_hbm,
         d_cg = w * g_g
         d_cb = w * g_b
 
-        # reduce over pixels (sublanes) -> (1, BLK) rows; pack (BLK, NGRAD)
         def red(x):
             return jnp.sum(x, axis=0, keepdims=True)   # (1, BLK)
 
         rows = [red(d_u), red(d_v), red(d_a), red(d_b), red(d_c),
                 red(d_cr), red(d_cg), red(d_cb), red(d_op),
                 red(jnp.abs(d_u)), red(jnp.abs(d_v))]
+        ii = jax.lax.broadcasted_iota(jnp.int32, (NGRAD, BLK), 0)
+        packed = jnp.zeros((NGRAD, BLK), jnp.float32)
         for j, r in enumerate(rows):
-            gscratch[pl.ds(j, 1), :] = r
-        gscratch[pl.ds(11, 1), :] = jnp.zeros((1, BLK), jnp.float32)
-        for j in range(12, NGRAD):
-            gscratch[pl.ds(j, 1), :] = jnp.zeros((1, BLK), jnp.float32)
-        cp2 = pltpu.make_async_copy(gscratch, grad_hbm.at[b], gsem)
-        cp2.start()
-        cp2.wait()
+            packed = packed + jnp.where(ii == j, r, 0.0)
 
-        rear_r = rear_r + jnp.sum(wc_r, axis=1, keepdims=True)
-        rear_g = rear_g + jnp.sum(wc_g, axis=1, keepdims=True)
-        rear_b = rear_b + jnp.sum(wc_b, axis=1, keepdims=True)
-        return rear_r, rear_g, rear_b
+        @pl.when(c < first_main)
+        def _():
+            bnd_ref[0] = packed
+
+        @pl.when(c >= first_main)
+        def _():
+            gscratch[:] = packed
+            cp = pltpu.make_async_copy(
+                gscratch, grad_hbm.at[:, pl.ds(base, BLK)], gsem)
+            cp.start()
+            cp.wait()
+
+        Cr = Cr + jnp.sum(wc_r, axis=1, keepdims=True)
+        Cg = Cg + jnp.sum(wc_g, axis=1, keepdims=True)
+        Cb = Cb + jnp.sum(wc_b, axis=1, keepdims=True)
+        T_px = jnp.min(jnp.where(applied, q_incl, T_px), axis=1,
+                       keepdims=True)
+        return T_px, Cr, Cg, Cb
+
+    def cond(state):
+        c, (T_px, *_r) = state
+        return (c < nchunks) & (jnp.max(T_px) >= T_EPS)
+
+    def wbody(state):
+        c, carry = state
+        return c + 1, body(c, carry)
 
     zero = jnp.zeros((px, 1), jnp.float32)
-    jax.lax.fori_loop(0, c_done, body2, (zero, zero, zero))
+    c_exit, _ = jax.lax.while_loop(
+        cond, wbody, (jnp.int32(0), (jnp.ones((px, 1), jnp.float32),
+                                     zero, zero, zero)))
+
+    @pl.when(c_exit < nchunks)
+    def _():
+        dma(c_exit).wait()
+
+    # zero-fill the tile-owned main blocks the early stop skipped
+    def zbody(c, _):
+        gscratch[:] = jnp.zeros((NGRAD, BLK), jnp.float32)
+        cp = pltpu.make_async_copy(
+            gscratch, grad_hbm.at[:, pl.ds((b0 + c) * BLK, BLK)], gsem)
+        cp.start()
+        cp.wait()
+        return 0
+
+    jax.lax.fori_loop(jnp.maximum(c_exit, first_main), nchunks, zbody, 0)
 
 
 @functools.partial(
     jax.jit, static_argnames=("width", "height", "tile_size", "interpret"))
 def rasterize_backward(
-    inst_table: jax.Array,     # (nb, FEAT, BLK)
-    tile_start: jax.Array,     # (T+1,) int32, BLK-aligned
+    inst_table: jax.Array,     # (FEAT, I)
+    tile_start: jax.Array,     # (T+1,) int32
     cot_tiles: jax.Array,      # (T, 8, px): rows g_r g_g g_b g_T
+    fwd_tiles: jax.Array,      # (T, 8, px): forward output rows
     *,
     width: int,
     height: int,
     tile_size: int = 16,
     interpret: bool = False,
-) -> jax.Array:
-    """-> per-instance gradient table (nb, NGRAD, BLK):
-    rows [du dv da db dc dr dg db dop |du| |dv|]."""
+) -> tuple[jax.Array, jax.Array]:
+    """-> (per-instance grads (NGRAD, I), boundary blocks (T, NGRAD, BLK)).
+    Grad rows: [du dv da db dc dr dg db dop |du| |dv|]."""
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
     num_tiles = tiles_x * tiles_y
     px = tile_size * tile_size
-    nb = inst_table.shape[0]
+    icap = inst_table.shape[1]
 
     kernel = functools.partial(
         _backward_kernel, tile_size=tile_size, tiles_x=tiles_x)
 
-    grads = pl.pallas_call(
+    grads, bnd = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -451,41 +442,63 @@ def rasterize_backward(
                 pl.BlockSpec(memory_space=pl.ANY),
                 pl.BlockSpec((1, 8, px), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 8, px), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
             ],
-            out_specs=pl.BlockSpec(memory_space=pl.ANY),
+            out_specs=[
+                pl.BlockSpec(memory_space=pl.ANY),
+                pl.BlockSpec((1, NGRAD, BLK), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
             scratch_shapes=[
-                pltpu.VMEM((FEAT, BLK), jnp.float32),
+                pltpu.VMEM((2, FEAT, BLK), jnp.float32),
                 pltpu.VMEM((NGRAD, BLK), jnp.float32),
-                pltpu.VMEM((MAX_CHUNKS, px), jnp.float32),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((nb, NGRAD, BLK), jnp.float32),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        out_shape=[
+            jax.ShapeDtypeStruct((NGRAD, icap), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, NGRAD, BLK), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",), has_side_effects=True),
         interpret=interpret,
-    )(tile_start, inst_table, cot_tiles)
-    return grads
+    )(tile_start, inst_table, cot_tiles, fwd_tiles)
+    return grads, bnd
 
 
-def scatter_instance_grads(grad_table: jax.Array, inst_gauss: jax.Array,
-                           num_gaussians: int):
-    """Segment-sum per-instance grads back to gaussians (atomics-free).
+def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
+                          tile_start: jax.Array, exp2sorted: jax.Array,
+                          g_offsets: jax.Array, g_counts: jax.Array):
+    """Per-instance grads -> per-gaussian sums, scatter-free.
+
+    Boundary blocks are added at each tile's first block, the table is
+    permuted to expansion order (where each gaussian's instances are
+    contiguous), and segments reduce via one cumsum + boundary diffs.
 
     -> dict(means2d (N,2), conics (N,3), colors (N,3), opacity (N,),
             absgrad (N,2))."""
-    nb = grad_table.shape[0]
-    g = grad_table.transpose(0, 2, 1).reshape(nb * BLK, NGRAD)
-    ids = inst_gauss[: nb * BLK]
-    sids = jnp.where(ids >= 0, ids, num_gaussians)
-    zeros = jnp.zeros((num_gaussians, NGRAD), jnp.float32)
-    acc = zeros.at[sids].add(g, mode="drop")
+    icap = grads.shape[1]
+    nb = icap // BLK
+    bidx = tile_start[:-1] // BLK                        # (T,)
+    gm = grads.reshape(NGRAD, nb, BLK)
+    gm = gm.at[:, bidx].add(bnd.transpose(1, 0, 2))
+    g = gm.reshape(NGRAD, icap)
+
+    ge = jnp.take(g, exp2sorted, axis=1)                 # expansion order
+    S = jnp.cumsum(ge, axis=1)
+    hi = jnp.clip(g_offsets + g_counts - 1, 0, icap - 1)
+    lo = g_offsets - 1
+    Shi = S[:, hi]
+    Slo = jnp.where(lo[None, :] >= 0, S[:, jnp.clip(lo, 0, icap - 1)], 0.0)
+    seg = jnp.where((g_counts > 0)[None, :], Shi - Slo, 0.0)   # (NGRAD, N)
     return {
-        "means2d": acc[:, 0:2],
-        "conics": acc[:, 2:5],
-        "colors": acc[:, 5:8],
-        "opacity": acc[:, 8],
-        "absgrad": acc[:, 9:11],
+        "means2d": seg[0:2].T,
+        "conics": seg[2:5].T,
+        "colors": seg[5:8].T,
+        "opacity": seg[8],
+        "absgrad": seg[9:11].T,
     }
 
 
@@ -497,66 +510,84 @@ def scatter_instance_grads(grad_table: jax.Array, inst_gauss: jax.Array,
 def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
+    px = tile_size * tile_size
+
+    def _fwd_tiles(means2d, conics, colors, opacities, inst_gauss,
+                   tile_start):
+        table = build_feature_table(means2d, conics, colors, opacities,
+                                    inst_gauss)
+        out = rasterize_forward(
+            table, tile_start, width=width, height=height,
+            tile_size=tile_size, interpret=interpret)
+        return table, out
 
     @jax.custom_vjp
     def raster(means2d, conics, colors, opacities, background,
-               absgrad_sink, inst_gauss, tile_start):
-        inst = build_instance_table(means2d, conics, colors, opacities,
-                                    inst_gauss)
-        img, T_px = rasterize_forward(
-            inst, tile_start, width=width, height=height,
-            tile_size=tile_size, interpret=interpret)
+               absgrad_sink, inst_gauss, tile_start, exp2sorted,
+               g_offsets, g_counts):
+        _, out = _fwd_tiles(means2d, conics, colors, opacities, inst_gauss,
+                            tile_start)
+        img = _tiles_to_image(out[:, 0:3, :], tiles_x, tiles_y, tile_size,
+                              width, height)
+        T_px = _tiles_to_image(out[:, 3:4, :], tiles_x, tiles_y, tile_size,
+                               width, height)[..., 0]
         img = img + T_px[..., None] * background[None, None, :]
         return img, 1.0 - T_px
 
     def fwd(means2d, conics, colors, opacities, background,
-            absgrad_sink, inst_gauss, tile_start):
-        out = raster(means2d, conics, colors, opacities, background,
-                     absgrad_sink, inst_gauss, tile_start)
-        img, alpha = out
-        res = (means2d, conics, colors, opacities, background,
-               inst_gauss, tile_start, 1.0 - alpha)
-        return out, res
+            absgrad_sink, inst_gauss, tile_start, exp2sorted,
+            g_offsets, g_counts):
+        table, out = _fwd_tiles(means2d, conics, colors, opacities,
+                                inst_gauss, tile_start)
+        img = _tiles_to_image(out[:, 0:3, :], tiles_x, tiles_y, tile_size,
+                              width, height)
+        T_px = _tiles_to_image(out[:, 3:4, :], tiles_x, tiles_y, tile_size,
+                               width, height)[..., 0]
+        img = img + T_px[..., None] * background[None, None, :]
+        res = (table, out, background, T_px, tile_start, exp2sorted,
+               g_offsets, g_counts)
+        return (img, 1.0 - T_px), res
 
     def bwd(res, cot):
-        (means2d, conics, colors, opacities, background,
-         inst_gauss, tile_start, T_px) = res
+        (table, out, background, T_px, tile_start, exp2sorted,
+         g_offsets, g_counts) = res
         g_img, g_alpha = cot
-        n = means2d.shape[0]
-        inst = build_instance_table(means2d, conics, colors, opacities,
-                                    inst_gauss)
-        # dL/dT enters via bg-composite (+g_img·bg) and alpha=1-T (−g_alpha);
-        # kernel applies dT/dα_i = −T/(1−α_i) with a folded sign:
-        # g_T row = g_alpha − g_img·bg  (see tiles.py derivation)
+        # dL/dT enters via bg-composite (+g_img.bg) and alpha=1-T (-g_alpha);
+        # the kernel applies dT/da_i = -T/(1-a_i) with a folded sign:
+        # g_T row = g_alpha - g_img.bg
         g_T_img = g_alpha - jnp.einsum("hwc,c->hw", g_img, background)
         cot_img = jnp.concatenate(
             [g_img, g_T_img[..., None],
              jnp.zeros((*g_img.shape[:2], 4), jnp.float32)], axis=-1)
         cot_tiles = _image_to_tiles(cot_img, tiles_x, tiles_y, tile_size)
-        gt = rasterize_backward(
-            inst, tile_start, cot_tiles, width=width, height=height,
+        grads, bnd = rasterize_backward(
+            table, tile_start, cot_tiles, out, width=width, height=height,
             tile_size=tile_size, interpret=interpret)
-        g = scatter_instance_grads(gt, inst_gauss, n)
+        # inst_gauss only entered through the table; recover ids for the
+        # reduction from the expansion maps instead (exp2sorted carries it)
+        g = reduce_instance_grads(grads, bnd, tile_start, exp2sorted,
+                                  g_offsets, g_counts)
         d_bg = jnp.einsum("hwc,hw->c", g_img, T_px)
         return (g["means2d"], g["conics"], g["colors"], g["opacity"],
-                d_bg, g["absgrad"], None, None)
+                d_bg, g["absgrad"], None, None, None, None, None)
 
     raster.defvjp(fwd, bwd)
     return raster
 
 
 def rasterize_pallas(
-    means2d, conics, colors, opacities, inst_gauss, tile_start,
+    means2d, conics, colors, opacities, bins,
     *, width: int, height: int, tile_size: int = 16,
     background=None, absgrad_sink=None, interpret: bool = False,
 ):
     """Differentiable Pallas rasterization: -> (img (H,W,3), alpha (H,W)).
 
-    inst_gauss/tile_start from bin_gaussians + align_instances."""
+    ``bins`` is the TileBins from ``tiles.bin_gaussians`` (any alignment)."""
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((means2d.shape[0], 2), jnp.float32)
     fn = _make_raster(width, height, tile_size, interpret)
     return fn(means2d, conics, colors, opacities, background,
-              absgrad_sink, inst_gauss, tile_start)
+              absgrad_sink, bins.inst_gauss, bins.tile_start,
+              bins.exp2sorted, bins.g_offsets, bins.g_counts)

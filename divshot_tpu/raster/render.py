@@ -111,14 +111,10 @@ def render(
         else proj.means2d + means2d_sink
 
     if backend == "pallas":
-        tw = (camera.width + tile_size - 1) // tile_size
-        th = (camera.height + tile_size - 1) // tile_size
-        inst_al, ts_al = _tiles.align_instances(
-            bins, tw * th, capacity=instance_capacity + tw * th * 256)
         from divshot_tpu.raster import pallas_raster as _pr
         interp = jax.default_backend() != "tpu"   # interpret off-TPU (tests)
         img, alpha = _pr.rasterize_pallas(
-            means2d, proj.conics, colors, opac, inst_al, ts_al,
+            means2d, proj.conics, colors, opac, bins,
             width=camera.width, height=camera.height, tile_size=tile_size,
             background=background, absgrad_sink=absgrad_sink,
             interpret=interp)

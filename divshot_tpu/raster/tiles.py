@@ -48,16 +48,34 @@ class TileBins(NamedTuple):
     ids_mat: jax.Array | None  # (num_tiles, K) int32 gaussian ids, -1 = empty,
                                # front-to-back within each tile row
     num_instances: jax.Array   # () int32 — diagnostics (pre-cap instance count)
-    tile_counts: jax.Array     # (num_tiles,) int32 instances per tile (uncapped)
+    tile_counts: jax.Array     # (num_tiles,) int32 instances per tile
     inst_gauss: jax.Array      # (I,) int32 sorted instance gaussian ids (-1 pad)
     tile_start: jax.Array      # (num_tiles+1,) int32 instance ranges per tile
     inst_tile: jax.Array       # (I,) int32 sorted tile id per instance
+    exp2sorted: jax.Array      # (I,) int32: expansion slot -> sorted position
+    g_offsets: jax.Array       # (N,) int32 exclusive offsets in expansion order
+    g_counts: jax.Array        # (N,) int32 emitted instances per gaussian
 
 
 def _tile_grid(width: int, height: int, tile_size: int) -> tuple[int, int]:
     tw = (width + tile_size - 1) // tile_size
     th = (height + tile_size - 1) // tile_size
     return tw, th
+
+
+def _hold_last_scan(values: tuple[jax.Array, ...], flag: jax.Array):
+    """Segmented broadcast: out[i] = value at the latest j <= i with flag[j].
+
+    The TPU-native replacement for per-instance scatter/gather in binning —
+    a single O(log I) associative scan instead of ~1M random memory ops."""
+
+    def op(a, b):
+        af, bf = a[-1], b[-1]
+        out = tuple(jnp.where(bf, bv, av) for av, bv in zip(a[:-1], b[:-1]))
+        return (*out, af | bf)
+
+    res = jax.lax.associative_scan(op, (*values, flag))
+    return res[:-1]
 
 
 def bin_gaussians(
@@ -71,14 +89,22 @@ def bin_gaussians(
     tile_capacity: int = 1024,        # K: max instances rasterized per tile
     instance_capacity: int = 1 << 20,
     max_tiles_per_gaussian: int = 64,
-    expand_chunk: int = 1 << 16,
     build_ids_mat: bool = True,
 ) -> TileBins:
-    """Build the per-tile front-to-back gaussian id matrix."""
+    """Expand gaussians into depth-sorted per-tile instance lists.
+
+    TPU-native analog of the reference's expand + radix-sort binning
+    (``gpu_sort.cpp:16-25``; tile structs ``gaussian_common.hlsl``): the
+    expansion is scatter-free — per-gaussian geometry is broadcast to its
+    instance slots with one boundary scatter (N elements) plus O(log I)
+    scans, then a single-key ``lax.sort`` on packed (tileID | depth-bits)
+    keys orders instances front-to-back per tile."""
     n = means2d.shape[0]
     tw, th = _tile_grid(width, height, tile_size)
     num_tiles = tw * th
+    assert num_tiles < (1 << 19), "tile grid too large for packed keys"
     mt = max_tiles_per_gaussian
+    cap = instance_capacity
 
     visible = radii > 0
     u, v = means2d[:, 0], means2d[:, 1]
@@ -88,71 +114,63 @@ def bin_gaussians(
     tmax_y = jnp.clip(jnp.ceil((v + radii) / tile_size), 0, th).astype(jnp.int32)
     nx = tmax_x - tmin_x
     ny = tmax_y - tmin_y
-    counts = jnp.where(visible, nx * ny, 0)
-    counts_capped = jnp.minimum(counts, mt)
-    offsets = jnp.cumsum(counts_capped) - counts_capped  # exclusive
-    total = offsets[-1] + counts_capped[-1] if n else jnp.int32(0)
+    counts = jnp.minimum(jnp.where(visible, nx * ny, 0), mt)
+    offsets = jnp.cumsum(counts) - counts                  # exclusive
+    total = jnp.minimum(offsets[-1] + counts[-1], cap)
 
-    # --- instance expansion, chunked over gaussians to bound memory ---
-    cap = instance_capacity
-    sentinel_tile = jnp.int32(num_tiles)
-    inst_tile = jnp.full((cap,), sentinel_tile, jnp.int32)
-    inst_depth = jnp.full((cap,), jnp.inf, jnp.float32)
-    inst_gauss = jnp.full((cap,), -1, jnp.int32)
-
-    n_pad = (n + expand_chunk - 1) // expand_chunk * expand_chunk
-
-    def pad(x, fill):
-        return jnp.pad(x, (0, n_pad - n), constant_values=fill)
-
-    c_tmin_x = pad(tmin_x, 0).reshape(-1, expand_chunk)
-    c_tmin_y = pad(tmin_y, 0).reshape(-1, expand_chunk)
-    c_nx = pad(jnp.maximum(nx, 1), 1).reshape(-1, expand_chunk)
-    c_counts = pad(counts_capped, 0).reshape(-1, expand_chunk)
-    c_offsets = pad(offsets, 0).reshape(-1, expand_chunk)
-    c_depths = pad(depths, jnp.inf).reshape(-1, expand_chunk)
-    c_gid = pad(jnp.arange(n, dtype=jnp.int32), -1).reshape(-1, expand_chunk)
-
-    j = jnp.arange(mt, dtype=jnp.int32)[None, :]          # (1, mt)
-
-    def expand_step(carry, inp):
-        itile, idepth, igauss = carry
-        txm, tym, nnx, cnt, off, dep, gid = inp
-        jx = j % nnx[:, None]
-        jy = j // nnx[:, None]
-        tile = (tym[:, None] + jy) * tw + txm[:, None] + jx   # (chunk, mt)
-        valid = j < cnt[:, None]
-        idx = jnp.where(valid, off[:, None] + j, cap).reshape(-1)
-        itile = itile.at[idx].set(tile.reshape(-1), mode="drop")
-        idepth = idepth.at[idx].set(
-            jnp.broadcast_to(dep[:, None], tile.shape).reshape(-1), mode="drop")
-        igauss = igauss.at[idx].set(
-            jnp.broadcast_to(gid[:, None], tile.shape).reshape(-1), mode="drop")
-        return (itile, idepth, igauss), None
-
-    (inst_tile, inst_depth, inst_gauss), _ = jax.lax.scan(
-        expand_step,
-        (inst_tile, inst_depth, inst_gauss),
-        (c_tmin_x, c_tmin_y, c_nx, c_counts, c_offsets, c_depths, c_gid),
-    )
-
-    # --- (tile, depth) sort; padded slots (tile=sentinel) go last.
-    # Fast path: pack (tile:14b | sortable-depth:18b) into ONE uint32 key —
-    # the same keying scheme as the reference's 32-bit radix sort design
-    # (gpu_sort.cpp:16-25) — a single-key lax.sort is much cheaper on TPU
-    # than the two-key comparator sort. Depth order uses the monotone bit
-    # pattern of positive f32 (FloatToSortableUint, gaussian_common.hlsl).
     tile_bits = max(1, (num_tiles + 1).bit_length())
     depth_bits = 32 - tile_bits
-    if tile_bits <= 14:
-        dbits = pltpu_bitcast_u32(inst_depth)
-        key = (inst_tile.astype(jnp.uint32) << depth_bits) | (
-            dbits >> (32 - depth_bits))
-        s_key, s_gauss = jax.lax.sort((key, inst_gauss), num_keys=1)
-        s_tile = (s_key >> depth_bits).astype(jnp.int32)
-    else:
-        s_tile, _s_depth, s_gauss = jax.lax.sort(
-            (inst_tile, inst_depth, inst_gauss), num_keys=2)
+    # chB packs the high depth bits with the per-gaussian instance count in
+    # the low bits; the count field must hold mt, the key's depth field is
+    # (32 - tile_bits) wide — decoupled so small tile grids keep fine depth
+    lo_bits = max(tile_bits, mt.bit_length())
+
+    # --- scatter-free expansion ---------------------------------------
+    # One boundary scatter (N elements, distinct offsets since every valid
+    # gaussian consumes >= 1 slot) marks each gaussian's first instance
+    # slot; cummax gives the segment start, and per-gaussian geometry +
+    # identity ride to instances through a hold-last associative scan.
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    goff = jnp.where(counts > 0, offsets, cap)             # drop empty/overflow
+    bnd = jnp.zeros((cap,), jnp.int32).at[goff].set(1, mode="drop")
+    start = jax.lax.cummax(jnp.where(bnd > 0, iota, 0))
+    j = iota - start                                       # rank within gaussian
+
+    dbits = pltpu_bitcast_u32(jnp.where(depths > 0, depths, jnp.inf))
+    tmin_lin = (tmin_y * tw + tmin_x).astype(jnp.uint32)
+    nx_safe = jnp.maximum(nx, 1).astype(jnp.uint32)
+    chA_g = (tmin_lin << 13) | nx_safe                     # nx < 2^13
+    chB_g = ((dbits >> lo_bits) << lo_bits) | counts.astype(jnp.uint32)
+    gid_g = jnp.arange(n, dtype=jnp.int32)
+
+    chA = jnp.zeros((cap,), jnp.uint32).at[goff].set(chA_g, mode="drop")
+    chB = jnp.zeros((cap,), jnp.uint32).at[goff].set(chB_g, mode="drop")
+    own = jnp.full((cap,), -1, jnp.int32).at[goff].set(gid_g, mode="drop")
+    chA, chB, owner = _hold_last_scan((chA, chB, own), bnd > 0)
+
+    nx_i = (chA & jnp.uint32(0x1FFF)).astype(jnp.int32)
+    tmin_i = (chA >> 13).astype(jnp.int32)
+    cnt_i = (chB & jnp.uint32((1 << lo_bits) - 1)).astype(jnp.int32)
+    # j < mt <= 256 and nx < 2^13, so f32 division is exact here
+    jy = jnp.floor(j.astype(jnp.float32) /
+                   jnp.maximum(nx_i, 1).astype(jnp.float32)).astype(jnp.int32)
+    jx = j - jy * nx_i
+    tile = tmin_i + jy * tw + jx
+
+    real = (owner >= 0) & (j < cnt_i)
+    key = jnp.where(
+        real,
+        (tile.astype(jnp.uint32) << depth_bits)
+        | ((chB >> lo_bits) << (lo_bits - tile_bits)),
+        jnp.uint32(0xFFFFFFFF))
+
+    s_key, s_gauss, s_exp = jax.lax.sort(
+        (key, jnp.where(real, owner, -1), iota), num_keys=1)
+    s_tile = jnp.minimum((s_key >> depth_bits).astype(jnp.int32), num_tiles)
+
+    # expansion slot -> sorted position (permutation inverse; lets the
+    # backward segment-reduce per-gaussian over contiguous ranges)
+    exp2sorted = jnp.zeros((cap,), jnp.int32).at[s_exp].set(iota)
 
     # --- per-tile ranges (tile_start[T] == total real instances) ---
     tile_bounds = jnp.searchsorted(
@@ -162,8 +180,7 @@ def bin_gaussians(
 
     ids_mat = None
     if build_ids_mat:
-        rank = jnp.arange(cap, dtype=jnp.int32) - tile_start[
-            jnp.minimum(s_tile, num_tiles - 1)]
+        rank = iota - tile_start[jnp.minimum(s_tile, num_tiles - 1)]
         ok = (s_tile < num_tiles) & (rank < tile_capacity)
         flat = jnp.where(ok, s_tile * tile_capacity + rank,
                          num_tiles * tile_capacity)
@@ -173,34 +190,9 @@ def bin_gaussians(
 
     return TileBins(ids_mat=ids_mat, num_instances=total,
                     tile_counts=tile_counts, inst_gauss=s_gauss,
-                    tile_start=tile_bounds, inst_tile=s_tile)
-
-
-def align_instances(bins: TileBins, num_tiles: int, *, block: int = 256,
-                    capacity: int | None = None
-                    ) -> tuple[jax.Array, jax.Array]:
-    """Re-layout sorted instances so every tile's range starts on a `block`
-    boundary (Pallas kernels DMA aligned blocks, and per-block gradient
-    outputs must belong to exactly one tile). Padding slots get id -1.
-
-    Returns (inst_gauss_aligned (Ia,), tile_start_aligned (T+1,)).
-    """
-    counts = bins.tile_start[1:] - bins.tile_start[:-1]     # (T,)
-    aligned = (counts + block - 1) // block * block
-    astart = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(aligned).astype(jnp.int32)])
-    cap = capacity if capacity is not None else (
-        bins.inst_gauss.shape[0] + num_tiles * (block - 1) + block)
-    cap = (cap + block - 1) // block * block
-
-    i = jnp.arange(bins.inst_gauss.shape[0], dtype=jnp.int32)
-    tile_of = jnp.minimum(bins.inst_tile, num_tiles - 1)
-    valid = bins.inst_gauss >= 0
-    rank = i - bins.tile_start[tile_of]
-    newpos = jnp.where(valid, astart[tile_of] + rank, cap)
-    out = jnp.full((cap,), -1, jnp.int32)
-    out = out.at[newpos].set(bins.inst_gauss, mode="drop")
-    return out, astart
+                    tile_start=tile_bounds, inst_tile=s_tile,
+                    exp2sorted=exp2sorted, g_offsets=offsets,
+                    g_counts=counts)
 
 
 # ---------------------------------------------------------------------------

@@ -20,21 +20,18 @@ def _setup(rng, n=600, res=128):
     opac = params.effective_opacity()
     bins = T.bin_gaussians(proj.means2d, proj.depths, proj.radii, res, res,
                            tile_capacity=2048, instance_capacity=1 << 15)
-    num_tiles = (res // 16) ** 2
-    inst_al, ts_al = T.align_instances(bins, num_tiles,
-                                       capacity=(1 << 15) + num_tiles * 256)
-    return proj, colors, opac, bins, inst_al, ts_al, res
+    return proj, colors, opac, bins, res
 
 
 def test_pallas_forward_matches_tiles(rng):
-    proj, colors, opac, bins, inst_al, ts_al, res = _setup(rng)
+    proj, colors, opac, bins, res = _setup(rng)
 
     img_x, alpha_x = T.composite_tiles(
         proj.means2d, proj.conics, colors, opac, bins.ids_mat, res, res,
         chunk=32, background=jnp.asarray([0.2, 0.4, 0.6]))
 
     img_p, alpha_p = PR.rasterize_pallas(
-        proj.means2d, proj.conics, colors, opac, inst_al, ts_al,
+        proj.means2d, proj.conics, colors, opac, bins,
         width=res, height=res, background=jnp.asarray([0.2, 0.4, 0.6]),
         interpret=True)
 
@@ -45,7 +42,7 @@ def test_pallas_forward_matches_tiles(rng):
 
 
 def test_pallas_gradients_match_tiles(rng):
-    proj, colors, opac, bins, inst_al, ts_al, res = _setup(rng, n=300)
+    proj, colors, opac, bins, res = _setup(rng, n=300)
     target = jnp.asarray(rng.uniform(0, 1, (res, res, 3)), jnp.float32)
     bg = jnp.asarray([0.3, 0.1, 0.6])
 
@@ -59,7 +56,7 @@ def test_pallas_gradients_match_tiles(rng):
     def loss_p(args):
         m2d, con, col, op = args
         img, alpha = PR.rasterize_pallas(
-            m2d, con, col, op, inst_al, ts_al, width=res, height=res,
+            m2d, con, col, op, bins, width=res, height=res,
             background=bg, interpret=True)
         return jnp.sum((img - target) ** 2) + 0.37 * jnp.sum(alpha)
 
@@ -75,12 +72,12 @@ def test_pallas_gradients_match_tiles(rng):
 
 
 def test_pallas_absgrad(rng):
-    proj, colors, opac, bins, inst_al, ts_al, res = _setup(rng, n=200)
+    proj, colors, opac, bins, res = _setup(rng, n=200)
     sink = jnp.zeros((proj.means2d.shape[0], 2))
 
     def loss(s):
         img, _ = PR.rasterize_pallas(
-            proj.means2d, proj.conics, colors, opac, inst_al, ts_al,
+            proj.means2d, proj.conics, colors, opac, bins,
             width=res, height=res, absgrad_sink=s, interpret=True)
         return jnp.sum(img ** 2)
 
