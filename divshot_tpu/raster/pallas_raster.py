@@ -48,28 +48,25 @@ FEAT = 16            # feature rows: u v a b c r g b op (7 pad)
 NGRAD = 16           # grad rows: du dv da db dc dr dg db dop |du| |dv| (5 pad)
 
 
-def _prefix_prod_lanes(x):
-    """Inclusive prefix product along the lane axis (Hillis-Steele,
-    log2(BLK) shift-multiplies — far cheaper than an MXU triangular
-    matmul and needs no log/exp round trip)."""
-    d = 1
-    n = x.shape[1]
-    while d < n:
-        x = x * jnp.concatenate(
-            [jnp.ones_like(x[:, :d]), x[:, :-d]], axis=1)
-        d *= 2
-    return x
+def _tri_lower():
+    """(BLK, BLK) lower-triangular ones: dot(x, tri) = inclusive prefix sum
+    along lanes. One MXU op beats log2(BLK) lane-shifted VPU passes — the
+    kernels are VMEM-bandwidth-bound, not FLOP-bound."""
+    ii = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 0)
+    jj = jax.lax.broadcasted_iota(jnp.int32, (BLK, BLK), 1)
+    return (ii <= jj).astype(jnp.float32)
 
 
-def _prefix_sum_lanes(x):
-    """Inclusive prefix sum along the lane axis."""
-    d = 1
-    n = x.shape[1]
-    while d < n:
-        x = x + jnp.concatenate(
-            [jnp.zeros_like(x[:, :d]), x[:, :-d]], axis=1)
-        d *= 2
-    return x
+def _prefix_prod_lanes(x, tri):
+    """Inclusive prefix product along lanes via one MXU matmul in log space
+    (x > 0 guaranteed: 1 - alpha with alpha <= ALPHA_MAX)."""
+    return jnp.exp(jnp.dot(jnp.log(x), tri,
+                           preferred_element_type=jnp.float32))
+
+
+def _prefix_sum_lanes(x, tri):
+    """Inclusive prefix sum along lanes via one MXU matmul."""
+    return jnp.dot(x, tri, preferred_element_type=jnp.float32)
 
 
 def _pixel_grid(tile_size: int, t, tiles_x: int):
@@ -110,6 +107,7 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
     b0 = s // BLK
     px = tile_size * tile_size
     gx, gy = _pixel_grid(tile_size, t, tiles_x)
+    tri = _tri_lower()
     nchunks = jnp.where(e > s, pl.cdiv(e - b0 * BLK, BLK), 0)
 
     def dma(c):
@@ -134,7 +132,7 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
         alpha, _, _, _ = _chunk_geometry(
             buf, gx, gy, jnp.maximum(s - base, 0), e - base)
         one_m = 1.0 - alpha
-        incl = _prefix_prod_lanes(one_m)
+        incl = _prefix_prod_lanes(one_m, tri)
         q_incl = T_px * incl
         applied = q_incl >= T_EPS
         w = jnp.where(applied, alpha * T_px * (incl / one_m), 0.0)
@@ -273,6 +271,7 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
     b0 = s // BLK
     px = tile_size * tile_size
     gx, gy = _pixel_grid(tile_size, t, tiles_x)
+    tri = _tri_lower()
     nchunks = jnp.where(e > s, pl.cdiv(e - b0 * BLK, BLK), 0)
     # chunk 0 is boundary-owned when the tile range starts mid-block
     first_main = jnp.where(s % BLK == 0, 0, 1)
@@ -283,10 +282,11 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
     g_g = cot_ref[0, 1:2, :].T
     g_b = cot_ref[0, 2:3, :].T
     g_T = cot_ref[0, 3:4, :].T
-    C_fr = fwd_ref[0, 0:1, :].T
-    C_fg = fwd_ref[0, 1:2, :].T
-    C_fb = fwd_ref[0, 2:3, :].T
-    T_fin = fwd_ref[0, 3:4, :].T
+    # all three color channels collapse onto the cotangent:
+    # sum_ch g_ch * rear_ch = Cf_dot - C_dot_incl — ONE prefix sum per chunk
+    C_fdot = (g_r * fwd_ref[0, 0:1, :].T + g_g * fwd_ref[0, 1:2, :].T
+              + g_b * fwd_ref[0, 2:3, :].T)
+    gT_Tfin = g_T * fwd_ref[0, 3:4, :].T
 
     def dma(c):
         return pltpu.make_async_copy(
@@ -298,7 +298,7 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         dma(0).start()
 
     def body(c, carry):
-        T_px, Cr, Cg, Cb = carry
+        T_px, C_dot = carry
 
         @pl.when(c + 1 < nchunks)
         def _():
@@ -310,7 +310,7 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         alpha, dx, dy, power = _chunk_geometry(
             buf, gx, gy, jnp.maximum(s - base, 0), e - base)
         one_m = 1.0 - alpha
-        incl = _prefix_prod_lanes(one_m)
+        incl = _prefix_prod_lanes(one_m, tri)
         q_incl = T_px * incl
         applied = q_incl >= T_EPS
         T_excl = T_px * (incl / one_m)
@@ -319,18 +319,11 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         cr = buf[5:6, :]
         cg = buf[6:7, :]
         cb2 = buf[7:8, :]
-        wc_r = w * cr
-        wc_g = w * cg
-        wc_b = w * cb2
-        rear_r = C_fr - (Cr + _prefix_sum_lanes(wc_r))
-        rear_g = C_fg - (Cg + _prefix_sum_lanes(wc_g))
-        rear_b = C_fb - (Cb + _prefix_sum_lanes(wc_b))
+        cdot = g_r * cr + g_g * cg + g_b * cb2      # (px, BLK)
+        wcd = w * cdot
+        rear_dot = C_fdot - (C_dot + _prefix_sum_lanes(wcd, tri))
         inv_om = 1.0 / one_m
-        d_alpha = (
-            g_r * (cr * T_excl - rear_r * inv_om)
-            + g_g * (cg * T_excl - rear_g * inv_om)
-            + g_b * (cb2 * T_excl - rear_b * inv_om)
-            + g_T * T_fin * inv_om)
+        d_alpha = cdot * T_excl - rear_dot * inv_om + gT_Tfin * inv_om
         live = applied & (alpha > 0.0) & (alpha < ALPHA_MAX)
         d_alpha = jnp.where(live, d_alpha, 0.0)
 
@@ -346,20 +339,15 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         d_c = -0.5 * dy * dy * d_power
         d_u = (ca * dx + cb * dy) * d_power
         d_v = (cc * dy + cb * dx) * d_power
-        d_cr = w * g_r
-        d_cg = w * g_g
-        d_cb = w * g_b
 
         def red(x):
             return jnp.sum(x, axis=0, keepdims=True)   # (1, BLK)
 
-        rows = [red(d_u), red(d_v), red(d_a), red(d_b), red(d_c),
-                red(d_cr), red(d_cg), red(d_cb), red(d_op),
-                red(jnp.abs(d_u)), red(jnp.abs(d_v))]
-        ii = jax.lax.broadcasted_iota(jnp.int32, (NGRAD, BLK), 0)
-        packed = jnp.zeros((NGRAD, BLK), jnp.float32)
-        for j, r in enumerate(rows):
-            packed = packed + jnp.where(ii == j, r, 0.0)
+        packed = jnp.concatenate(
+            [red(d_u), red(d_v), red(d_a), red(d_b), red(d_c),
+             red(w * g_r), red(w * g_g), red(w * g_b), red(d_op),
+             red(jnp.abs(d_u)), red(jnp.abs(d_v)),
+             jnp.zeros((NGRAD - 11, BLK), jnp.float32)], axis=0)
 
         @pl.when(c < first_main)
         def _():
@@ -373,12 +361,10 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
             cp.start()
             cp.wait()
 
-        Cr = Cr + jnp.sum(wc_r, axis=1, keepdims=True)
-        Cg = Cg + jnp.sum(wc_g, axis=1, keepdims=True)
-        Cb = Cb + jnp.sum(wc_b, axis=1, keepdims=True)
+        C_dot = C_dot + jnp.sum(wcd, axis=1, keepdims=True)
         T_px = jnp.min(jnp.where(applied, q_incl, T_px), axis=1,
                        keepdims=True)
-        return T_px, Cr, Cg, Cb
+        return T_px, C_dot
 
     def cond(state):
         c, (T_px, *_r) = state
@@ -388,10 +374,9 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         c, carry = state
         return c + 1, body(c, carry)
 
-    zero = jnp.zeros((px, 1), jnp.float32)
     c_exit, _ = jax.lax.while_loop(
         cond, wbody, (jnp.int32(0), (jnp.ones((px, 1), jnp.float32),
-                                     zero, zero, zero)))
+                                     jnp.zeros((px, 1), jnp.float32))))
 
     @pl.when(c_exit < nchunks)
     def _():

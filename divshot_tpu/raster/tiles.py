@@ -169,8 +169,9 @@ def bin_gaussians(
     s_tile = jnp.minimum((s_key >> depth_bits).astype(jnp.int32), num_tiles)
 
     # expansion slot -> sorted position (permutation inverse; lets the
-    # backward segment-reduce per-gaussian over contiguous ranges)
-    exp2sorted = jnp.zeros((cap,), jnp.int32).at[s_exp].set(iota)
+    # backward segment-reduce per-gaussian over contiguous ranges).
+    # Inverting via a second sort is ~2x cheaper than a 1M random scatter.
+    _, exp2sorted = jax.lax.sort((s_exp, iota), num_keys=1)
 
     # --- per-tile ranges (tile_start[T] == total real instances) ---
     tile_bounds = jnp.searchsorted(

@@ -22,34 +22,39 @@ def _gauss_window(size: int = 11, sigma: float = 1.5) -> np.ndarray:
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jax.Array, window: jax.Array) -> jax.Array:
-    """Separable gaussian blur of (H, W, C) with SAME padding."""
-    k = window.shape[0]
-    c = img.shape[-1]
-    x = img[None].transpose(0, 3, 1, 2)              # NCHW
-    kh = jnp.tile(window.reshape(1, 1, k, 1), (c, 1, 1, 1))
-    kw = jnp.tile(window.reshape(1, 1, 1, k), (c, 1, 1, 1))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), [(k // 2, k // 2), (0, 0)], dimension_numbers=dn,
-        feature_group_count=c)
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), [(0, 0), (k // 2, k // 2)], dimension_numbers=dn,
-        feature_group_count=c)
-    return x.transpose(0, 2, 3, 1)[0]
+@functools.lru_cache(maxsize=None)
+def _band_matrix(n: int, size: int, sigma: float) -> np.ndarray:
+    """(n, n) banded Toeplitz blur matrix (zero 'SAME' padding semantics).
+    Separable blur as two MXU matmuls beats a C=3 depthwise conv on TPU."""
+    w = _gauss_window(size, sigma)
+    m = np.zeros((n, n), np.float32)
+    half = size // 2
+    for j, wj in enumerate(w):
+        off = j - half
+        idx = np.arange(max(0, -off), min(n, n - off))
+        m[idx, idx + off] = wj
+    return m
+
+
+def _blur(img: jax.Array, size: int = 11, sigma: float = 1.5) -> jax.Array:
+    """Separable gaussian blur of (H, W, C) with SAME padding, on the MXU."""
+    h, w = img.shape[0], img.shape[1]
+    bh = jnp.asarray(_band_matrix(h, size, sigma))
+    bw = jnp.asarray(_band_matrix(w, size, sigma))
+    x = jnp.einsum("hk,kwc->hwc", bh, img, precision="highest")
+    return jnp.einsum("wk,hkc->hwc", bw, x, precision="highest")
 
 
 def ssim(img1: jax.Array, img2: jax.Array, *, size: int = 11,
          sigma: float = 1.5) -> jax.Array:
     """Mean SSIM over an (H, W, C) pair in [0, 1]."""
-    w = jnp.asarray(_gauss_window(size, sigma))
     C1, C2 = 0.01 ** 2, 0.03 ** 2
-    mu1 = _blur(img1, w)
-    mu2 = _blur(img2, w)
+    mu1 = _blur(img1, size, sigma)
+    mu2 = _blur(img2, size, sigma)
     mu1_sq, mu2_sq, mu12 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    s1 = _blur(img1 * img1, w) - mu1_sq
-    s2 = _blur(img2 * img2, w) - mu2_sq
-    s12 = _blur(img1 * img2, w) - mu12
+    s1 = _blur(img1 * img1, size, sigma) - mu1_sq
+    s2 = _blur(img2 * img2, size, sigma) - mu2_sq
+    s12 = _blur(img1 * img2, size, sigma) - mu12
     m = ((2 * mu12 + C1) * (2 * s12 + C2)) / (
         (mu1_sq + mu2_sq + C1) * (s1 + s2 + C2))
     return jnp.mean(m)
