@@ -89,6 +89,7 @@ def main(argv=None):
     if load_itr > 0:
         trainer.state = CK.load_checkpoint(model_path, load_itr,
                                            trainer.state)
+        trainer._host_step = load_itr
         print(f"resumed from iteration_{load_itr}")
 
     phase.set(TrainingStatus.TRAINING)

@@ -347,7 +347,8 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
             [red(d_u), red(d_v), red(d_a), red(d_b), red(d_c),
              red(w * g_r), red(w * g_g), red(w * g_b), red(d_op),
              red(jnp.abs(d_u)), red(jnp.abs(d_v)),
-             jnp.zeros((NGRAD - 11, BLK), jnp.float32)], axis=0)
+             red(live.astype(jnp.float32)),      # contributing pixel count
+             jnp.zeros((NGRAD - 12, BLK), jnp.float32)], axis=0)
 
         @pl.when(c < first_main)
         def _():
@@ -484,6 +485,7 @@ def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
         "colors": seg[5:8].T,
         "opacity": seg[8],
         "absgrad": seg[9:11].T,
+        "npix": seg[11],      # pixels this gaussian contributed to (PixelGS)
     }
 
 
@@ -508,7 +510,7 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
 
     @jax.custom_vjp
     def raster(means2d, conics, colors, opacities, background,
-               absgrad_sink, inst_gauss, tile_start, exp2sorted,
+               absgrad_sink, npix_sink, inst_gauss, tile_start, exp2sorted,
                g_offsets, g_counts):
         _, out = _fwd_tiles(means2d, conics, colors, opacities, inst_gauss,
                             tile_start)
@@ -520,7 +522,7 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
         return img, 1.0 - T_px
 
     def fwd(means2d, conics, colors, opacities, background,
-            absgrad_sink, inst_gauss, tile_start, exp2sorted,
+            absgrad_sink, npix_sink, inst_gauss, tile_start, exp2sorted,
             g_offsets, g_counts):
         table, out = _fwd_tiles(means2d, conics, colors, opacities,
                                 inst_gauss, tile_start)
@@ -554,7 +556,7 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
                                   g_offsets, g_counts)
         d_bg = jnp.einsum("hwc,hw->c", g_img, T_px)
         return (g["means2d"], g["conics"], g["colors"], g["opacity"],
-                d_bg, g["absgrad"], None, None, None, None, None)
+                d_bg, g["absgrad"], g["npix"], None, None, None, None, None)
 
     raster.defvjp(fwd, bwd)
     return raster
@@ -563,7 +565,8 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
 def rasterize_pallas(
     means2d, conics, colors, opacities, bins,
     *, width: int, height: int, tile_size: int = 16,
-    background=None, absgrad_sink=None, interpret: bool = False,
+    background=None, absgrad_sink=None, npix_sink=None,
+    interpret: bool = False,
 ):
     """Differentiable Pallas rasterization: -> (img (H,W,3), alpha (H,W)).
 
@@ -572,7 +575,9 @@ def rasterize_pallas(
         background = jnp.zeros((3,), jnp.float32)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((means2d.shape[0], 2), jnp.float32)
+    if npix_sink is None:
+        npix_sink = jnp.zeros((means2d.shape[0],), jnp.float32)
     fn = _make_raster(width, height, tile_size, interpret)
     return fn(means2d, conics, colors, opacities, background,
-              absgrad_sink, bins.inst_gauss, bins.tile_start,
+              absgrad_sink, npix_sink, bins.inst_gauss, bins.tile_start,
               bins.exp2sorted, bins.g_offsets, bins.g_counts)

@@ -52,7 +52,9 @@ def render(
     antialiased: bool = False,
     absgrad_sink: jax.Array | None = None,
     means2d_sink: jax.Array | None = None,
+    npix_sink: jax.Array | None = None,
     override_colors: jax.Array | None = None,
+    cull_sh_radius: float = 0.0,
 ) -> RenderOutput:
     """``absgrad_sink`` / ``means2d_sink`` are zero (N, 2) inputs whose
     cotangents harvest the AbsGS absolute and the signed screen-space
@@ -76,7 +78,13 @@ def render(
         # view-dependent color: SH evaluated along camera->splat direction
         from divshot_tpu.splat.math import safe_normalize
         dirs = safe_normalize(params.means - camera.campos[None, :])
-        colors = eval_sh_color(params.sh0, params.shN, dirs, sh_degree)
+        shN = params.shN
+        if cull_sh_radius > 0.0:
+            # cullSH: splats below a few pixels keep only their DC color
+            # (reference cullSH flag; LightGaussian-style SH culling)
+            keep = (proj.radii > cull_sh_radius)[:, None, None]
+            shN = shN * keep.astype(shN.dtype)
+        colors = eval_sh_color(params.sh0, shN, dirs, sh_degree)
 
     opac = params.effective_opacity() * proj.comp
     if background is None:
@@ -117,7 +125,7 @@ def render(
             means2d, proj.conics, colors, opac, bins,
             width=camera.width, height=camera.height, tile_size=tile_size,
             background=background, absgrad_sink=absgrad_sink,
-            interpret=interp)
+            npix_sink=npix_sink, interpret=interp)
         return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink)
 
     img, alpha = _tiles.composite_tiles(

@@ -35,6 +35,7 @@ class DensifyObs:
     grad2d: jax.Array      # (C,) ‖dL/dmeans2d‖ in NDC units this step
     absgrad2d: jax.Array   # (C,) AbsGS |dL/dmeans2d| norm (NDC)
     radii: jax.Array       # (C,) pixel radii (0 = not visible)
+    npix: jax.Array | None = None  # (C,) pixels contributed to (Pixel-GS)
     width: int = struct.field(pytree_node=False, default=0)
     height: int = struct.field(pytree_node=False, default=0)
 
@@ -54,14 +55,28 @@ class DensifyState:
 
 
 def update_stats(state: DensifyState, obs: DensifyObs,
-                 use_abs_grad: bool = True) -> DensifyState:
+                 use_abs_grad: bool = True,
+                 pixel_grad_scale: float = 0.0) -> DensifyState:
     """Accumulate per-splat screen-grad stats; AbsGS selects the absolute
-    gradient accumulator (reference default useAbsGrad=true)."""
+    gradient accumulator (reference default useAbsGrad=true).
+
+    ``pixel_grad_scale`` > 0 enables Pixel-GS weighted averaging (the
+    reference's pixelGradScale): each view contributes with weight
+    proportional to the pixels the splat covered, so large splats seen up
+    close aren't diluted by many low-signal distant views."""
     visible = obs.radii > 0
     g = jnp.where(visible, obs.absgrad2d if use_abs_grad else obs.grad2d, 0.0)
+    w = visible.astype(jnp.float32)
+    if pixel_grad_scale > 0.0 and obs.npix is not None:
+        npix = jnp.maximum(obs.npix, 0.0)
+        mean_npix = jnp.sum(npix * w) / jnp.maximum(jnp.sum(w), 1.0)
+        pw = npix / jnp.maximum(mean_npix, 1.0)
+        w = w * ((1.0 - pixel_grad_scale) + pixel_grad_scale * pw)
+        g = g * ((1.0 - pixel_grad_scale)
+                 + pixel_grad_scale * jnp.where(visible, pw, 0.0))
     return DensifyState(
         grad_accum=state.grad_accum + g,
-        count=state.count + visible.astype(jnp.float32),
+        count=state.count + w,
         max_radii=jnp.maximum(
             state.max_radii,
             jnp.where(visible, obs.radii / max(obs.width, obs.height), 0.0)),

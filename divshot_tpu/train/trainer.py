@@ -81,17 +81,22 @@ def sh_band_mask(num_coeffs: int, degree: jax.Array) -> jax.Array:
 
 def make_train_step(cfg: TrainConfig, dataset: Dataset,
                     render_kwargs: dict[str, Any] | None = None,
-                    batch_size: int = 1) -> Callable:
+                    batch_size: int = 1, res_scale: int = 1) -> Callable:
     """Build the (state, view_idx) -> (state, metrics) step function.
 
     ``view_idx`` is () for batch_size=1 or (B,) for batched steps; the batch
     axis is the data-parallel axis — shard it over a mesh (dist/) and XLA
-    inserts the gradient psum over ICI."""
+    inserts the gradient psum over ICI.
+
+    ``res_scale`` > 1 trains at 1/res_scale resolution (gt average-pooled
+    on device, camera intrinsics scaled) — the progressive-resolution
+    schedule compiles one step per scale (reference resolutionSchedule)."""
     rk = dict(
         backend="tiles",
         tile_size=cfg.raster.tile_size,
         antialiased=cfg.raster.mip_antialiased,
         eps2d=cfg.raster.eps2d,
+        cull_sh_radius=3.0 if cfg.cull_sh else 0.0,
     )
     if render_kwargs:
         rk.update(render_kwargs)
@@ -99,19 +104,35 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
     dcfg = cfg.densify
     bg = jnp.ones((3,), jnp.float32) if cfg.white_background \
         else jnp.zeros((3,), jnp.float32)
-    W = dataset.cameras.width
-    H = dataset.cameras.height
+    W = dataset.cameras.width // res_scale
+    H = dataset.cameras.height // res_scale
     ndc_scale = jnp.asarray([W / 2.0, H / 2.0], jnp.float32)
+
+    def pool(img):
+        """(h, w, C) -> average-pooled to (H, W, C)."""
+        if res_scale == 1:
+            return img
+        c = img.shape[-1]
+        img = img[: H * res_scale, : W * res_scale]
+        return img.reshape(H, res_scale, W, res_scale, c).mean((1, 3))
 
     def train_step(state: TrainState, view_idx: jax.Array):
         batched = view_idx.ndim == 1
         cameras = jax.tree.map(lambda x: x[view_idx], dataset.cameras)
+        if res_scale != 1:
+            s = 1.0 / res_scale
+            cameras = cameras.replace(fx=cameras.fx * s, fy=cameras.fy * s,
+                                      cx=cameras.cx * s, cy=cameras.cy * s)
         gts = dataset.images[view_idx].astype(jnp.float32) / 255.0
+        gts = jax.vmap(pool)(gts) if batched else pool(gts)
         masks = None
         if dataset.masks is not None:
             masks = dataset.masks[view_idx].astype(jnp.float32)
             if masks.dtype == jnp.float32 and dataset.masks.dtype == jnp.uint8:
                 masks = masks / 255.0
+            if res_scale != 1:
+                pm = lambda m: pool(m[..., None])[..., 0]
+                masks = jax.vmap(pm)(masks) if batched else pm(masks)
 
         key, k_refine, k_noise = jax.random.split(state.key, 3)
         step = state.opt.step
@@ -119,7 +140,8 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         shmask = sh_band_mask(state.params.shN.shape[1], deg)
         cap = state.params.capacity
 
-        def one_view(fields, bg_p, abs_sink, m2d_sink, camera, gt, mask):
+        def one_view(fields, bg_p, abs_sink, m2d_sink, npix_sink,
+                     camera, gt, mask):
             p = state.params.replace(**fields)
             p = p.replace(shN=p.shN * shmask)
             if cfg.model_type == 1:   # 2DGS: surfel splats
@@ -129,7 +151,7 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
             out = render(p, camera,
                          background=jnp.zeros((3,)) if cfg.enable_bg else bg,
                          absgrad_sink=abs_sink,
-                         means2d_sink=m2d_sink, **rk)
+                         means2d_sink=m2d_sink, npix_sink=npix_sink, **rk)
             img = out.image
             if cfg.enable_bg:
                 from divshot_tpu.models.background import render_background
@@ -170,23 +192,25 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
             else jnp.zeros((1, 1, 3), jnp.float32)
 
         if batched:
-            def loss_fn(fields, bg_p, abs_sink, m2d_sink):
+            def loss_fn(fields, bg_p, abs_sink, m2d_sink, npix_sink):
                 losses, aux = jax.vmap(
-                    one_view, in_axes=(None, None, None, None, 0, 0,
+                    one_view, in_axes=(None, None, None, None, None, 0, 0,
                                        0 if masks is not None else None))(
-                        fields, bg_p, abs_sink, m2d_sink, cameras, gts, masks)
+                        fields, bg_p, abs_sink, m2d_sink, npix_sink,
+                        cameras, gts, masks)
                 return jnp.mean(losses), aux
         else:
-            def loss_fn(fields, bg_p, abs_sink, m2d_sink):
-                return one_view(fields, bg_p, abs_sink, m2d_sink, cameras,
-                                gts, masks)
+            def loss_fn(fields, bg_p, abs_sink, m2d_sink, npix_sink):
+                return one_view(fields, bg_p, abs_sink, m2d_sink, npix_sink,
+                                cameras, gts, masks)
 
         fields = {f: getattr(state.params, f) for f in PARAM_FIELDS}
         zeros2 = jnp.zeros((cap, 2), jnp.float32)
+        zeros1 = jnp.zeros((cap,), jnp.float32)
         (loss, (img, radii)), grads = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
-                fields, bg_p, zeros2, zeros2)
-        g_fields, g_bg, g_abs, g_m2d = grads
+            loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
+                fields, bg_p, zeros2, zeros2, zeros1)
+        g_fields, g_bg, g_abs, g_m2d, g_npix = grads
         if batched:
             img = img[0]
             radii = jnp.max(radii, axis=0)  # visible in any view of the batch
@@ -196,8 +220,9 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         obs = S.DensifyObs(
             grad2d=jnp.linalg.norm(g_m2d * ndc_scale, axis=-1),
             absgrad2d=jnp.linalg.norm(g_abs * ndc_scale, axis=-1),
-            radii=radii, width=W, height=H)
-        dstate = S.update_stats(state.dstate, obs, dcfg.use_abs_grad)
+            radii=radii, npix=g_npix, width=W, height=H)
+        dstate = S.update_stats(state.dstate, obs, dcfg.use_abs_grad,
+                                cfg.pixel_grad_scale)
 
         visible = radii > 0
         params, opt = adam_update(cfg.optim, state.params, g_fields,
@@ -268,10 +293,38 @@ class Trainer:
             key=jax.random.PRNGKey(cfg.seed),
             bg=bg_state,
         )
-        self._step_fn = jax.jit(
+        self._step_full = jax.jit(
             make_train_step(cfg, dataset, render_kwargs), donate_argnums=(0,))
+        # progressive resolution (resolutionSchedule): one compiled step per
+        # scale, switched on the host by iteration — x4 then x2 then full
+        self._step_scaled: dict[int, Any] = {}
+        if cfg.progressive_train and cfg.resolution_schedule > 0:
+            for s in (4, 2):
+                self._step_scaled[s] = jax.jit(
+                    make_train_step(cfg, dataset, render_kwargs, res_scale=s),
+                    donate_argnums=(0,))
         self._np_rng = np.random.default_rng(cfg.seed)
         self.metrics_history: list[dict] = []
+        self.last_metrics: dict | None = None
+        self._host_step = 0   # host-side mirror of opt.step (avoids syncs)
+
+    def _step_fn(self, state, view):
+        it = self._host_step
+        self._host_step += 1
+        if self._step_scaled:
+            sched = self.cfg.resolution_schedule
+            if it < sched:
+                return self._step_scaled[4](state, view)
+            if it < 2 * sched:
+                return self._step_scaled[2](state, view)
+        return self._step_full(state, view)
+
+    def step_once(self) -> dict:
+        """Run one training step on a random view (TrainerSession hook)."""
+        view = int(self._np_rng.integers(self.dataset.num_views))
+        self.state, metrics = self._step_fn(self.state, view)
+        self.last_metrics = metrics
+        return metrics
 
     def run(self, num_iters: int | None = None,
             log_every: int = 500,
