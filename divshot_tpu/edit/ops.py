@@ -298,7 +298,8 @@ class EditSession:
         self.state = jnp.where(dead, jnp.uint32(0), self.state)
 
     def merge(self, other: GaussianParams) -> None:
-        """Append another model's alive splats into free capacity."""
+        """Append another model's alive splats, growing capacity if the
+        free slots don't suffice (GaussianModel::merge parity)."""
         old_params, old_state = self.params, self.state
 
         def restore(s, a=old_params, b=old_state):
@@ -308,6 +309,24 @@ class EditSession:
         d = other.compact_numpy()
         n_new = d["means"].shape[0]
         free = np.nonzero(~np.asarray(self.params.alive))[0]
+        if len(free) < n_new:
+            grow = n_new - len(free)
+            p = self.params
+            cap = p.capacity
+
+            def pad(x, fill=0.0):
+                w = [(0, grow)] + [(0, 0)] * (x.ndim - 1)
+                return jnp.pad(x, w, constant_values=fill)
+
+            quats = pad(p.quats).at[cap:, 0].set(1.0)
+            self.params = p.replace(
+                means=pad(p.means),
+                scales=pad(p.scales, float(np.log(0.01))),
+                quats=quats, opacity=pad(p.opacity, -15.0),
+                sh0=pad(p.sh0), shN=pad(p.shN),
+                alive=pad(p.alive, False))
+            self.state = jnp.pad(self.state, (0, grow))
+            free = np.nonzero(~np.asarray(self.params.alive))[0]
         k = min(n_new, len(free))
         idx = jnp.asarray(free[:k])
         p = self.params

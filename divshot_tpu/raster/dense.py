@@ -32,8 +32,14 @@ def composite_dense(
     *,
     chunk: int = 256,
     background: jax.Array | None = None,
+    falloff: str = "gaussian",
 ) -> tuple[jax.Array, jax.Array]:
-    """Returns (image (H, W, 3), alpha (H, W))."""
+    """Returns (image (H, W, 3), alpha (H, W)).
+
+    ``falloff`` selects the fragment response (the analog of the
+    reference's gsplat_ps pixel-shader modes): "gaussian" (default),
+    "ring" (ellipse outlines at the 2σ contour — Rings render type) or
+    "solid" (opaque inside 2σ — Ellipsoids render type)."""
     n = proj.means2d.shape[0]
     n_pad = (n + chunk - 1) // chunk * chunk
 
@@ -65,8 +71,16 @@ def composite_dense(
         dx, dy = d[..., 0], d[..., 1]
         power = -0.5 * (con[:, None, 0] * dx * dx + con[:, None, 2] * dy * dy) \
             - con[:, None, 1] * dx * dy
-        alpha = jnp.minimum(op[:, None] * jnp.exp(power), ALPHA_MAX)
-        alpha = jnp.where((power <= 0) & (alpha >= ALPHA_MIN), alpha, 0.0)
+        if falloff == "ring":
+            r = jnp.sqrt(jnp.maximum(-2.0 * power, 0.0))   # mahalanobis dist
+            alpha = jnp.where((jnp.abs(r - 2.0) < 0.15) & (op[:, None] > 0),
+                              ALPHA_MAX, 0.0)
+        elif falloff == "solid":
+            alpha = jnp.where((power >= -2.0) & (op[:, None] > 0),
+                              ALPHA_MAX, 0.0)
+        else:
+            alpha = jnp.minimum(op[:, None] * jnp.exp(power), ALPHA_MAX)
+            alpha = jnp.where((power <= 0) & (alpha >= ALPHA_MIN), alpha, 0.0)
 
         # sequential front-to-back inside the chunk, vectorized over pixels:
         # T_within[i] = prod_{j<i}(1-alpha_j)
