@@ -119,7 +119,8 @@ class TrainConfig:
     normal_consistency_loss: bool = False  # 2DGS/SuGaR-style; forced by export_mesh
     normal_loss_weight: float = 0.05       # 2DGS lambda_n
     normal_start_iter: int = 7000          # 2DGS: normals supervised late
-    dist_loss_weight: float = 0.0
+    dist_loss_weight: float = 0.0     # 2DGS depth-distortion weight
+    dist_start_iter: int = 3000       # 2DGS: distortion supervised late
     pixel_grad_scale: float = 0.0     # pixelgs per-pixel gradient scaling
 
     # subsystems
@@ -202,6 +203,24 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         "noiselr": "densify.noise_lr",
         "ssim_weight": "ssim_weight",
         "mip_antialiased": "raster.mip_antialiased",
+        "normal_consistency_loss": "normal_consistency_loss",
+        "dist_loss_weight": "dist_loss_weight",
+        "model_type": "model_type",
+        "pixel_grad_scale": "pixel_grad_scale",
+        "cull_sh": "cull_sh",
+        "progressive_train": "progressive_train",
+        "resolution_schedule": "resolution_schedule",
+        "use_mask": "use_mask",
+        "enable_bg": "enable_bg",
+        "export_mesh": "export_mesh",
+        "mesh_resolution": "mesh_resolution",
+        "max_image_width": "max_image_width",
+        "max_image_height": "max_image_height",
+        "max_image_count": "max_image_count",
+        "eval_holdout": "eval_holdout",
+        "visible_adam": "optim.visible_adam",
+        "checkpoint_every": "checkpoint_every",
+        "seed": "seed",
         "sh_degree": "sh_degree",
         "white_background": "white_background",
         "position_lr_init": "optim.pos_lr_init",

@@ -11,18 +11,24 @@ GROUP_WIDTH/HEIGHT=16). Design notes:
   block* output that XLA scatter-adds back — every full block is written by
   exactly one tile, so there are no write hazards and no instance
   re-layout pass.
+- **Multi-channel compositing**: up to 7 channels share one pass (rgb plus
+  aux planes like depth / depth² / camera normals — so 2DGS needs no
+  second rasterization, and the depth-distortion loss comes from the same
+  sweep). Row budget: FEAT = 6 geometry + ≤7 channels; NGRAD = 6 geometry
+  grads + ≤7 channel grads + |du| |dv| + pixel count = 16 exactly.
 - **Compositing without sequential control flow**: per 256-instance chunk,
-  prefix transmittances come from a Hillis-Steele prefix product over lanes
-  (8 shifted multiplies — VPU-cheap). Early-stop keeps exact CUDA
-  semantics: with q_i = T_in·prod_{j<=i}(1-a_j) (unmasked running product),
-  the applied set is exactly {i : q_i >= 1e-4} — a prefix, since q is
-  monotone — and for applied i the unmasked prefix equals the true
-  exclusive transmittance.
+  prefix transmittances come from one MXU triangular matmul in log space
+  (the kernels are VMEM-bandwidth-bound; the MXU is idle). Early-stop
+  keeps exact CUDA semantics: with q_i = T_in·prod_{j<=i}(1-a_j) (unmasked
+  running product), the applied set is exactly {i : q_i >= 1e-4} — a
+  prefix, since q is monotone — and for applied i the unmasked prefix
+  equals the true exclusive transmittance.
 - **Single-pass backward, forward order**: the CUDA reference walks
   back-to-front because atomics force it to; here the suffix color sum is
   recovered as ``rear_i = C_final - C_incl,i`` from the forward's output
-  accumulator, so the backward is one front-to-back sweep with the same
-  early stop — no replay pass, no transmittance stash.
+  accumulator — and all channels collapse onto the cotangent
+  (sum_ch g_ch·rear_ch), so each chunk needs ONE prefix sum and ONE prefix
+  product regardless of channel count. No replay pass, no stash.
 - Per-instance gradients land in a ``(NGRAD, I)`` table and are
   segment-reduced to gaussians in expansion order (contiguous per
   gaussian): one permutation gather + a cumsum + boundary diffs — no
@@ -44,8 +50,13 @@ ALPHA_MAX = 0.999
 T_EPS = 1e-4
 
 BLK = 256            # instances per block (= lanes)
-FEAT = 16            # feature rows: u v a b c r g b op (7 pad)
-NGRAD = 16           # grad rows: du dv da db dc dr dg db dop |du| |dv| (5 pad)
+FEAT = 16            # rows: u v a b c op ch0..ch6 (pad)
+NGRAD = 16           # rows: du dv da db dc dop dch0..dch6 |du| |dv| npix
+MAX_CH = 7
+ROW_OP = 5
+ROW_CH = 6           # first channel row in FEAT / first dcolor row in NGRAD
+ROW_T = 7            # T row in the (T, 8, px) forward output / cotangent
+ROW_ABS = 13         # |du| |dv| at 13, 14; npix at 15
 
 
 def _tri_lower():
@@ -87,7 +98,7 @@ def _chunk_geometry(buf, gx, gy, gid_lo, gid_hi):
     ca = buf[2:3, :]
     cb = buf[3:4, :]
     cc = buf[4:5, :]
-    op = buf[8:9, :]
+    op = buf[ROW_OP:ROW_OP + 1, :]
     dx = gx - u                                   # (px, BLK)
     dy = gy - v
     power = -0.5 * (ca * dx * dx + cc * dy * dy) - cb * dx * dy
@@ -100,7 +111,7 @@ def _chunk_geometry(buf, gx, gy, gid_lo, gid_hi):
 
 
 def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
-                    *, tile_size: int, tiles_x: int):
+                    *, tile_size: int, tiles_x: int, nch: int):
     t = pl.program_id(0)
     s = tile_start_ref[t]
     e = tile_start_ref[t + 1]
@@ -120,7 +131,7 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
         dma(0).start()
 
     def body(c, carry):
-        T_px, ar, ag, ab = carry
+        T_px, accs = carry
         # double buffer: kick off the next chunk's DMA before waiting
         @pl.when(c + 1 < nchunks)
         def _():
@@ -136,29 +147,25 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
         q_incl = T_px * incl
         applied = q_incl >= T_EPS
         w = jnp.where(applied, alpha * T_px * (incl / one_m), 0.0)
-        cr = buf[5:6, :]
-        cg = buf[6:7, :]
-        cb2 = buf[7:8, :]
-        ar = ar + jnp.sum(w * cr, axis=1, keepdims=True)
-        ag = ag + jnp.sum(w * cg, axis=1, keepdims=True)
-        ab = ab + jnp.sum(w * cb2, axis=1, keepdims=True)
+        accs = tuple(
+            acc + jnp.sum(w * buf[ROW_CH + k:ROW_CH + k + 1, :], axis=1,
+                          keepdims=True)
+            for k, acc in enumerate(accs))
         T_px = jnp.min(jnp.where(applied, q_incl, T_px), axis=1,
                        keepdims=True)
-        return T_px, ar, ag, ab
+        return T_px, accs
 
     def cond(state):
-        c, (T_px, *_r) = state
+        c, (T_px, _a) = state
         return (c < nchunks) & (jnp.max(T_px) >= T_EPS)
 
     def wbody(state):
         c, carry = state
         return c + 1, body(c, carry)
 
-    init = (jnp.ones((px, 1), jnp.float32),
-            jnp.zeros((px, 1), jnp.float32),
-            jnp.zeros((px, 1), jnp.float32),
-            jnp.zeros((px, 1), jnp.float32))
-    c_exit, (T_px, ar, ag, ab) = jax.lax.while_loop(
+    zero = jnp.zeros((px, 1), jnp.float32)
+    init = (jnp.ones((px, 1), jnp.float32), tuple(zero for _ in range(nch)))
+    c_exit, (T_px, accs) = jax.lax.while_loop(
         cond, wbody, (jnp.int32(0), init))
 
     # drain the in-flight prefetch if the T-threshold exited the loop early
@@ -167,25 +174,29 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
         dma(c_exit).wait()
 
     ch = jax.lax.broadcasted_iota(jnp.int32, (px, 8), 1)
-    packed = (jnp.where(ch == 0, ar, 0.0) + jnp.where(ch == 1, ag, 0.0)
-              + jnp.where(ch == 2, ab, 0.0) + jnp.where(ch == 3, T_px, 0.0))
+    packed = jnp.where(ch == ROW_T, T_px, 0.0)
+    for k in range(nch):
+        packed = packed + jnp.where(ch == k, accs[k], 0.0)
     out_ref[0, :, :] = packed.T                   # (8, px)
 
 
 def build_feature_table(means2d, conics, colors, opacities,
                         inst_gauss) -> jax.Array:
-    """(FEAT, I) f32 feature-major table in depth-sorted instance order.
-    One lane-gather of the per-gaussian feature matrix — the only
-    per-instance random memory op in the forward."""
+    """(FEAT, I) f32 feature-major table in depth-sorted instance order;
+    ``colors`` is (N, C) with C <= 7 channels (rgb + aux planes). One
+    lane-gather of the per-gaussian feature matrix — the only per-instance
+    random memory op in the forward."""
     n = means2d.shape[0]
+    nch = colors.shape[1]
+    assert nch <= MAX_CH, f"at most {MAX_CH} channels"
     featT = jnp.concatenate([
-        means2d.T, conics.T, colors.T, opacities[None, :],
-        jnp.zeros((FEAT - 9, n), jnp.float32),
+        means2d.T, conics.T, opacities[None, :], colors.T,
+        jnp.zeros((FEAT - 6 - nch, n), jnp.float32),
     ], axis=0)                                    # (FEAT, N)
     safe = jnp.clip(inst_gauss, 0, n - 1)
     tab = jnp.take(featT, safe, axis=1)           # (FEAT, I)
-    op = jnp.where(inst_gauss >= 0, tab[8], 0.0)
-    return jax.lax.dynamic_update_slice(tab, op[None, :], (8, 0))
+    op = jnp.where(inst_gauss >= 0, tab[ROW_OP], 0.0)
+    return jax.lax.dynamic_update_slice(tab, op[None, :], (ROW_OP, 0))
 
 
 def _tiles_to_image(rows: jax.Array, tiles_x: int, tiles_y: int,
@@ -210,7 +221,8 @@ def _image_to_tiles(img: jax.Array, tiles_x: int, tiles_y: int,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_size", "interpret"))
+    jax.jit,
+    static_argnames=("width", "height", "tile_size", "nch", "interpret"))
 def rasterize_forward(
     inst_table: jax.Array,     # (FEAT, I)
     tile_start: jax.Array,     # (T+1,) int32 raw sorted offsets
@@ -218,16 +230,18 @@ def rasterize_forward(
     width: int,
     height: int,
     tile_size: int = 16,
+    nch: int = 3,
     interpret: bool = False,
 ) -> jax.Array:
-    """-> per-tile rows (T, 8, px): [r g b T ...] pre-background."""
+    """-> per-tile rows (T, 8, px): channels at rows 0..nch-1, T at row 7,
+    all pre-background."""
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
     num_tiles = tiles_x * tiles_y
     px = tile_size * tile_size
 
     kernel = functools.partial(
-        _forward_kernel, tile_size=tile_size, tiles_x=tiles_x)
+        _forward_kernel, tile_size=tile_size, tiles_x=tiles_x, nch=nch)
 
     return pl.pallas_call(
         kernel,
@@ -256,12 +270,12 @@ def rasterize_forward(
 
 def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
                      grad_hbm, bnd_ref, scratch, gscratch, sem, gsem,
-                     *, tile_size: int, tiles_x: int):
+                     *, tile_size: int, tiles_x: int, nch: int):
     """One front-to-back sweep per tile. The suffix color sum ("rear") is
     recovered from the forward's final accumulator: rear_i = C_fin - C_incl,i.
 
-    cot_ref: (1, 8, px) rows [g_r g_g g_b g_T] (g_T = g_alpha - g_img.bg).
-    fwd_ref: (1, 8, px) forward output rows [C_r C_g C_b T_final].
+    cot_ref: (1, 8, px), channel cotangents at rows 0..nch-1, g_T at row 7
+    (g_T = g_alpha - g_img·bg). fwd_ref: the forward's (1, 8, px) output.
     Gradient rows for a tile's first partial block go to ``bnd_ref`` (the
     per-tile boundary block); all full blocks are tile-exclusive writes to
     ``grad_hbm``."""
@@ -278,15 +292,12 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
 
     bnd_ref[0] = jnp.zeros((NGRAD, BLK), jnp.float32)
 
-    g_r = cot_ref[0, 0:1, :].T                     # (px, 1)
-    g_g = cot_ref[0, 1:2, :].T
-    g_b = cot_ref[0, 2:3, :].T
-    g_T = cot_ref[0, 3:4, :].T
-    # all three color channels collapse onto the cotangent:
+    g_ch = [cot_ref[0, k:k + 1, :].T for k in range(nch)]    # (px, 1) each
+    g_T = cot_ref[0, ROW_T:ROW_T + 1, :].T
+    # all channels collapse onto the cotangent:
     # sum_ch g_ch * rear_ch = Cf_dot - C_dot_incl — ONE prefix sum per chunk
-    C_fdot = (g_r * fwd_ref[0, 0:1, :].T + g_g * fwd_ref[0, 1:2, :].T
-              + g_b * fwd_ref[0, 2:3, :].T)
-    gT_Tfin = g_T * fwd_ref[0, 3:4, :].T
+    C_fdot = sum(g_ch[k] * fwd_ref[0, k:k + 1, :].T for k in range(nch))
+    gT_Tfin = g_T * fwd_ref[0, ROW_T:ROW_T + 1, :].T
 
     def dma(c):
         return pltpu.make_async_copy(
@@ -316,10 +327,8 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         T_excl = T_px * (incl / one_m)
         w = jnp.where(applied, alpha * T_excl, 0.0)
 
-        cr = buf[5:6, :]
-        cg = buf[6:7, :]
-        cb2 = buf[7:8, :]
-        cdot = g_r * cr + g_g * cg + g_b * cb2      # (px, BLK)
+        chans = [buf[ROW_CH + k:ROW_CH + k + 1, :] for k in range(nch)]
+        cdot = sum(g_ch[k] * chans[k] for k in range(nch))   # (px, BLK)
         wcd = w * cdot
         rear_dot = C_fdot - (C_dot + _prefix_sum_lanes(wcd, tri))
         inv_om = 1.0 / one_m
@@ -327,7 +336,6 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         live = applied & (alpha > 0.0) & (alpha < ALPHA_MAX)
         d_alpha = jnp.where(live, d_alpha, 0.0)
 
-        op = buf[8:9, :]
         G = jnp.exp(power)
         d_op = d_alpha * G
         d_power = d_alpha * alpha
@@ -343,12 +351,13 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         def red(x):
             return jnp.sum(x, axis=0, keepdims=True)   # (1, BLK)
 
-        packed = jnp.concatenate(
-            [red(d_u), red(d_v), red(d_a), red(d_b), red(d_c),
-             red(w * g_r), red(w * g_g), red(w * g_b), red(d_op),
-             red(jnp.abs(d_u)), red(jnp.abs(d_v)),
-             red(live.astype(jnp.float32)),      # contributing pixel count
-             jnp.zeros((NGRAD - 12, BLK), jnp.float32)], axis=0)
+        rows = [red(d_u), red(d_v), red(d_a), red(d_b), red(d_c), red(d_op)]
+        rows += [red(w * g_ch[k]) for k in range(nch)]
+        rows += [jnp.zeros((ROW_ABS - 6 - nch, BLK), jnp.float32)] \
+            if ROW_ABS - 6 - nch else []
+        rows += [red(jnp.abs(d_u)), red(jnp.abs(d_v)),
+                 red(live.astype(jnp.float32))]
+        packed = jnp.concatenate(rows, axis=0)
 
         @pl.when(c < first_main)
         def _():
@@ -396,20 +405,22 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("width", "height", "tile_size", "interpret"))
+    jax.jit,
+    static_argnames=("width", "height", "tile_size", "nch", "interpret"))
 def rasterize_backward(
     inst_table: jax.Array,     # (FEAT, I)
     tile_start: jax.Array,     # (T+1,) int32
-    cot_tiles: jax.Array,      # (T, 8, px): rows g_r g_g g_b g_T
+    cot_tiles: jax.Array,      # (T, 8, px): channel cotangents + g_T
     fwd_tiles: jax.Array,      # (T, 8, px): forward output rows
     *,
     width: int,
     height: int,
     tile_size: int = 16,
+    nch: int = 3,
     interpret: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (per-instance grads (NGRAD, I), boundary blocks (T, NGRAD, BLK)).
-    Grad rows: [du dv da db dc dr dg db dop |du| |dv|]."""
+    Grad rows: [du dv da db dc dop dch0..dch{nch-1} .. |du| |dv| npix]."""
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
     num_tiles = tiles_x * tiles_y
@@ -417,7 +428,7 @@ def rasterize_backward(
     icap = inst_table.shape[1]
 
     kernel = functools.partial(
-        _backward_kernel, tile_size=tile_size, tiles_x=tiles_x)
+        _backward_kernel, tile_size=tile_size, tiles_x=tiles_x, nch=nch)
 
     grads, bnd = pl.pallas_call(
         kernel,
@@ -456,15 +467,16 @@ def rasterize_backward(
 
 def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
                           tile_start: jax.Array, exp2sorted: jax.Array,
-                          g_offsets: jax.Array, g_counts: jax.Array):
+                          g_offsets: jax.Array, g_counts: jax.Array,
+                          nch: int = 3):
     """Per-instance grads -> per-gaussian sums, scatter-free.
 
     Boundary blocks are added at each tile's first block, the table is
     permuted to expansion order (where each gaussian's instances are
     contiguous), and segments reduce via one cumsum + boundary diffs.
 
-    -> dict(means2d (N,2), conics (N,3), colors (N,3), opacity (N,),
-            absgrad (N,2))."""
+    -> dict(means2d (N,2), conics (N,3), colors (N,nch), opacity (N,),
+            absgrad (N,2), npix (N,))."""
     icap = grads.shape[1]
     nb = icap // BLK
     bidx = tile_start[:-1] // BLK                        # (T,)
@@ -482,10 +494,10 @@ def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
     return {
         "means2d": seg[0:2].T,
         "conics": seg[2:5].T,
-        "colors": seg[5:8].T,
-        "opacity": seg[8],
-        "absgrad": seg[9:11].T,
-        "npix": seg[11],      # pixels this gaussian contributed to (PixelGS)
+        "opacity": seg[5],
+        "colors": seg[ROW_CH:ROW_CH + nch].T,
+        "absgrad": seg[ROW_ABS:ROW_ABS + 2].T,
+        "npix": seg[ROW_ABS + 2],
     }
 
 
@@ -494,10 +506,10 @@ def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
 
 
 @functools.lru_cache(maxsize=None)
-def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
+def _make_raster(width: int, height: int, tile_size: int, nch: int,
+                 interpret: bool):
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
-    px = tile_size * tile_size
 
     def _fwd_tiles(means2d, conics, colors, opacities, inst_gauss,
                    tile_start):
@@ -505,8 +517,20 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
                                     inst_gauss)
         out = rasterize_forward(
             table, tile_start, width=width, height=height,
-            tile_size=tile_size, interpret=interpret)
+            tile_size=tile_size, nch=nch, interpret=interpret)
         return table, out
+
+    def _split(out, background):
+        img = _tiles_to_image(out[:, 0:nch, :], tiles_x, tiles_y, tile_size,
+                              width, height)
+        T_px = _tiles_to_image(out[:, ROW_T:ROW_T + 1, :], tiles_x, tiles_y,
+                               tile_size, width, height)[..., 0]
+        # background composites onto the first 3 (rgb) channels only
+        bg_full = jnp.concatenate(
+            [background, jnp.zeros((nch - 3,), jnp.float32)]) \
+            if nch > 3 else background
+        img = img + T_px[..., None] * bg_full[None, None, :]
+        return img, T_px
 
     @jax.custom_vjp
     def raster(means2d, conics, colors, opacities, background,
@@ -514,11 +538,7 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
                g_offsets, g_counts):
         _, out = _fwd_tiles(means2d, conics, colors, opacities, inst_gauss,
                             tile_start)
-        img = _tiles_to_image(out[:, 0:3, :], tiles_x, tiles_y, tile_size,
-                              width, height)
-        T_px = _tiles_to_image(out[:, 3:4, :], tiles_x, tiles_y, tile_size,
-                               width, height)[..., 0]
-        img = img + T_px[..., None] * background[None, None, :]
+        img, T_px = _split(out, background)
         return img, 1.0 - T_px
 
     def fwd(means2d, conics, colors, opacities, background,
@@ -526,11 +546,7 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
             g_offsets, g_counts):
         table, out = _fwd_tiles(means2d, conics, colors, opacities,
                                 inst_gauss, tile_start)
-        img = _tiles_to_image(out[:, 0:3, :], tiles_x, tiles_y, tile_size,
-                              width, height)
-        T_px = _tiles_to_image(out[:, 3:4, :], tiles_x, tiles_y, tile_size,
-                               width, height)[..., 0]
-        img = img + T_px[..., None] * background[None, None, :]
+        img, T_px = _split(out, background)
         res = (table, out, background, T_px, tile_start, exp2sorted,
                g_offsets, g_counts)
         return (img, 1.0 - T_px), res
@@ -539,22 +555,21 @@ def _make_raster(width: int, height: int, tile_size: int, interpret: bool):
         (table, out, background, T_px, tile_start, exp2sorted,
          g_offsets, g_counts) = res
         g_img, g_alpha = cot
-        # dL/dT enters via bg-composite (+g_img.bg) and alpha=1-T (-g_alpha);
-        # the kernel applies dT/da_i = -T/(1-a_i) with a folded sign:
-        # g_T row = g_alpha - g_img.bg
-        g_T_img = g_alpha - jnp.einsum("hwc,c->hw", g_img, background)
+        # dL/dT enters via bg-composite (+g_rgb.bg) and alpha=1-T
+        # (-g_alpha); the kernel applies dT/da_i = -T/(1-a_i) with a folded
+        # sign: g_T row = g_alpha - g_rgb.bg
+        g_T_img = g_alpha - jnp.einsum(
+            "hwc,c->hw", g_img[..., :3], background)
+        pad = jnp.zeros((*g_img.shape[:2], 7 - nch), jnp.float32)
         cot_img = jnp.concatenate(
-            [g_img, g_T_img[..., None],
-             jnp.zeros((*g_img.shape[:2], 4), jnp.float32)], axis=-1)
+            [g_img, pad, g_T_img[..., None]], axis=-1)
         cot_tiles = _image_to_tiles(cot_img, tiles_x, tiles_y, tile_size)
         grads, bnd = rasterize_backward(
             table, tile_start, cot_tiles, out, width=width, height=height,
-            tile_size=tile_size, interpret=interpret)
-        # inst_gauss only entered through the table; recover ids for the
-        # reduction from the expansion maps instead (exp2sorted carries it)
+            tile_size=tile_size, nch=nch, interpret=interpret)
         g = reduce_instance_grads(grads, bnd, tile_start, exp2sorted,
-                                  g_offsets, g_counts)
-        d_bg = jnp.einsum("hwc,hw->c", g_img, T_px)
+                                  g_offsets, g_counts, nch=nch)
+        d_bg = jnp.einsum("hwc,hw->c", g_img[..., :3], T_px)
         return (g["means2d"], g["conics"], g["colors"], g["opacity"],
                 d_bg, g["absgrad"], g["npix"], None, None, None, None, None)
 
@@ -568,16 +583,19 @@ def rasterize_pallas(
     background=None, absgrad_sink=None, npix_sink=None,
     interpret: bool = False,
 ):
-    """Differentiable Pallas rasterization: -> (img (H,W,3), alpha (H,W)).
+    """Differentiable Pallas rasterization: -> (img (H, W, C), alpha (H, W)).
 
-    ``bins`` is the TileBins from ``tiles.bin_gaussians`` (any alignment)."""
+    ``colors`` may carry up to 7 channels (rgb first; extra planes
+    composite with the same weights — depth, depth², normals, ...).
+    ``bins`` is the TileBins from ``tiles.bin_gaussians``."""
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((means2d.shape[0], 2), jnp.float32)
     if npix_sink is None:
         npix_sink = jnp.zeros((means2d.shape[0],), jnp.float32)
-    fn = _make_raster(width, height, tile_size, interpret)
+    nch = colors.shape[1]
+    fn = _make_raster(width, height, tile_size, nch, interpret)
     return fn(means2d, conics, colors, opacities, background,
               absgrad_sink, npix_sink, bins.inst_gauss, bins.tile_start,
               bins.exp2sorted, bins.g_offsets, bins.g_counts)

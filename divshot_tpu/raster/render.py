@@ -34,6 +34,7 @@ class RenderOutput(NamedTuple):
     means2d: jax.Array     # the projected means the compositor consumed —
                            # differentiate w.r.t. these for densify stats
     absgrad_sink: jax.Array
+    extra: jax.Array | None = None   # (H, W, E) extra composited planes
 
 
 def render(
@@ -54,6 +55,7 @@ def render(
     means2d_sink: jax.Array | None = None,
     npix_sink: jax.Array | None = None,
     override_colors: jax.Array | None = None,
+    extra_colors: jax.Array | None = None,
     cull_sh_radius: float = 0.0,
 ) -> RenderOutput:
     """``absgrad_sink`` / ``means2d_sink`` are zero (N, 2) inputs whose
@@ -63,7 +65,12 @@ def render(
     ``override_colors`` (N, 3) replaces SH shading — used to composite
     arbitrary per-splat quantities (depth maps, normals, ids) through the
     same transmittance weighting (the analog of the reference's
-    Depth/Normal render types, ``gaussian_component.h:7-16``)."""
+    Depth/Normal render types, ``gaussian_component.h:7-16``).
+
+    ``extra_colors`` (N, E<=4) appends aux channels composited in the SAME
+    pass as rgb (pallas backend): depth / depth^2 / camera normals for the
+    2DGS losses — no second rasterization needed. Returned as
+    ``out.extra``."""
     if sh_degree is None:
         sh_degree = params.sh_degree
 
@@ -89,6 +96,9 @@ def render(
     opac = params.effective_opacity() * proj.comp
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
+
+    if extra_colors is not None and backend != "pallas":
+        raise ValueError("extra_colors requires the pallas backend")
 
     if backend == "dense":
         proj_for_comp = Projection(
@@ -121,12 +131,18 @@ def render(
     if backend == "pallas":
         from divshot_tpu.raster import pallas_raster as _pr
         interp = jax.default_backend() != "tpu"   # interpret off-TPU (tests)
+        cols = colors if extra_colors is None \
+            else jnp.concatenate([colors, extra_colors], axis=1)
         img, alpha = _pr.rasterize_pallas(
-            means2d, proj.conics, colors, opac, bins,
+            means2d, proj.conics, cols, opac, bins,
             width=camera.width, height=camera.height, tile_size=tile_size,
             background=background, absgrad_sink=absgrad_sink,
             npix_sink=npix_sink, interpret=interp)
-        return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink)
+        extra = None
+        if extra_colors is not None:
+            img, extra = img[..., :3], img[..., 3:]
+        return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink,
+                            extra)
 
     img, alpha = _tiles.composite_tiles(
         means2d, proj.conics, colors, opac, bins.ids_mat,

@@ -148,9 +148,28 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                 from divshot_tpu.train import geometry as G
                 p = G.flatten_to_surfels(p)
             camera = camera.replace(width=W, height=H)
+            need_geom = (cfg.normal_consistency_loss or cfg.model_type == 1
+                         or cfg.dist_loss_weight > 0)
+            aux = None
+            if need_geom:
+                # camera-space depth + normals; camera-facing => nz < 0, so
+                # nz is recoverable from (nx, ny); z and z^2 feed the depth
+                # distortion moments. One extra set of composited planes.
+                from divshot_tpu.train import geometry as G
+                Rv = camera.viewmat[:3, :3]
+                tz = camera.viewmat[2, 3]
+                z = jnp.einsum("nj,j->n", p.means, Rv[2],
+                               precision="highest") + tz
+                n_world = G.splat_normals(p, camera)
+                n_cam = jnp.einsum("nj,ij->ni", n_world, Rv,
+                                   precision="highest")
+                aux = jnp.concatenate(
+                    [z[:, None], (z * z)[:, None], n_cam[:, :2]], axis=1)
+            single_pass = need_geom and rk.get("backend") == "pallas"
             out = render(p, camera,
                          background=jnp.zeros((3,)) if cfg.enable_bg else bg,
                          absgrad_sink=abs_sink,
+                         extra_colors=aux if single_pass else None,
                          means2d_sink=m2d_sink, npix_sink=npix_sink, **rk)
             img = out.image
             if cfg.enable_bg:
@@ -161,31 +180,42 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                 img = img * mask[..., None]
                 gt = gt * mask[..., None]
             loss = photometric_loss(img, gt, cfg.ssim_weight)
-            out = out._replace(image=img) if hasattr(out, "_replace") else out
-            if cfg.normal_consistency_loss or cfg.model_type == 1:
+            if need_geom:
                 from divshot_tpu.train import geometry as G
-                Rv = camera.viewmat[:3, :3]
-                tz = camera.viewmat[2, 3]
-                z = jnp.einsum("nj,j->n", p.means, Rv[2],
-                               precision="highest") + tz
-                # camera-space normals; camera-facing => nz < 0, so nz is
-                # recoverable from (nx, ny) and one aux composite suffices
-                n_world = G.splat_normals(p, camera)
-                n_cam = jnp.einsum("nj,ij->ni", n_world, Rv,
-                                   precision="highest")
-                aux = jnp.concatenate([z[:, None], n_cam[:, :2]], axis=1)
-                out_aux = render(p, camera, override_colors=aux, **rk)
-                alpha_s = jnp.maximum(out_aux.alpha, 1e-6)
-                depth = out_aux.image[..., 0] / alpha_s
-                nx = out_aux.image[..., 1] / alpha_s
-                ny = out_aux.image[..., 2] / alpha_s
-                nz = -jnp.sqrt(jnp.clip(1.0 - nx ** 2 - ny ** 2, 1e-6, 1.0))
-                n_render = jnp.stack([nx, ny, nz], -1)
-                nloss = G.normal_consistency_loss(
-                    n_render, depth, out_aux.alpha, camera)
-                w = jnp.where(step >= cfg.normal_start_iter,
-                              cfg.normal_loss_weight, 0.0)
-                loss = loss + w * nloss
+                if single_pass:
+                    planes, alpha_g = out.extra, out.alpha
+                else:
+                    out2 = render(p, camera, override_colors=aux[:, :3],
+                                  **rk)
+                    out3 = render(p, camera, override_colors=jnp.stack(
+                        [aux[:, 1], aux[:, 3], aux[:, 3]], axis=1), **rk)
+                    # out2 composites [z, z2, nx]; out3 [z2, ny, ny]
+                    planes = jnp.concatenate(
+                        [out2.image[..., 0:1], out3.image[..., 0:1],
+                         out2.image[..., 2:3], out3.image[..., 1:2]], -1)
+                    alpha_g = out2.alpha
+                alpha_s = jnp.maximum(alpha_g, 1e-6)
+                depth = planes[..., 0] / alpha_s
+                if cfg.normal_consistency_loss or cfg.model_type == 1:
+                    nx = planes[..., 2] / alpha_s
+                    ny = planes[..., 3] / alpha_s
+                    nz = -jnp.sqrt(
+                        jnp.clip(1.0 - nx ** 2 - ny ** 2, 1e-6, 1.0))
+                    n_render = jnp.stack([nx, ny, nz], -1)
+                    nloss = G.normal_consistency_loss(
+                        n_render, depth, alpha_g, camera)
+                    w = jnp.where(step >= cfg.normal_start_iter,
+                                  cfg.normal_loss_weight, 0.0)
+                    loss = loss + w * nloss
+                if cfg.dist_loss_weight > 0:
+                    # depth distortion (2DGS): sum_ij w_i w_j (z_i - z_j)^2
+                    # = 2(sum wz^2 * sum w - (sum wz)^2) per pixel — all
+                    # three moments come out of the shared compositing pass
+                    dist = (planes[..., 1] * alpha_g - planes[..., 0] ** 2)
+                    dloss = jnp.mean(jnp.maximum(dist, 0.0))
+                    wd = jnp.where(step >= cfg.dist_start_iter,
+                                   cfg.dist_loss_weight, 0.0)
+                    loss = loss + wd * dloss
             return loss, (out.image, out.proj.radii)
 
         bg_p = state.bg["params"] if cfg.enable_bg \

@@ -83,3 +83,68 @@ def test_pallas_absgrad(rng):
 
     g = np.asarray(jax.grad(loss)(sink))
     assert g.sum() > 0
+
+
+def test_pallas_multichannel_matches_separate(rng):
+    """Aux channels composited in the same pass must equal separate
+    override-color composites through the tiles oracle."""
+    proj, colors, opac, bins, res = _setup(rng, n=200)
+    n = colors.shape[0]
+    aux = jnp.stack([jnp.sin(jnp.arange(n) * 0.1),
+                     jnp.cos(jnp.arange(n) * 0.05)], axis=1)
+    cols7 = jnp.concatenate([colors, aux], axis=1)
+
+    img5, alpha5 = PR.rasterize_pallas(
+        proj.means2d, proj.conics, cols7, opac, bins,
+        width=res, height=res, interpret=True)
+    assert img5.shape == (res, res, 5)
+
+    img_rgb, _ = T.composite_tiles(
+        proj.means2d, proj.conics, colors, opac, bins.ids_mat, res, res,
+        chunk=32)
+    aux3 = jnp.concatenate([aux, aux[:, :1]], axis=1)
+    img_aux, _ = T.composite_tiles(
+        proj.means2d, proj.conics, aux3, opac, bins.ids_mat, res, res,
+        chunk=32)
+    np.testing.assert_allclose(np.asarray(img5[..., :3]),
+                               np.asarray(img_rgb), atol=5e-4)
+    np.testing.assert_allclose(np.asarray(img5[..., 3:]),
+                               np.asarray(img_aux[..., :2]), atol=5e-4)
+
+
+def test_pallas_multichannel_grads(rng):
+    """Gradients flow through all channels of the shared pass."""
+    proj, colors, opac, bins, res = _setup(rng, n=150)
+    n = colors.shape[0]
+
+    def loss(args):
+        col, op = args
+        aux = jnp.stack([col[:, 0] * 2.0, col[:, 1] - col[:, 2]], axis=1)
+        img, alpha = PR.rasterize_pallas(
+            proj.means2d, proj.conics,
+            jnp.concatenate([col, aux], axis=1), op, bins,
+            width=res, height=res, interpret=True)
+        return (jnp.sum(img[..., :3] ** 2) + jnp.sum(img[..., 3:] ** 2)
+                + 0.1 * jnp.sum(alpha))
+
+    def loss_tiles(args):
+        col, op = args
+        img, alpha = T.composite_tiles(
+            proj.means2d, proj.conics, col, op, bins.ids_mat, res, res,
+            chunk=32)
+        aux_col = jnp.stack([col[:, 0] * 2.0, col[:, 1] - col[:, 2],
+                             jnp.zeros((n,))], axis=1)
+        img2, _ = T.composite_tiles(
+            proj.means2d, proj.conics, aux_col, op, bins.ids_mat, res, res,
+            chunk=32)
+        return (jnp.sum(img ** 2) + jnp.sum(img2[..., :2] ** 2)
+                + 0.1 * jnp.sum(alpha))
+
+    args = (colors, opac)
+    g_p = jax.grad(loss)(args)
+    g_x = jax.grad(loss_tiles)(args)
+    for name, ga, gb in zip(["colors", "opacity"], g_p, g_x):
+        ga, gb = np.asarray(ga), np.asarray(gb)
+        scale = np.abs(gb).max() + 1e-8
+        err = np.abs(ga - gb).max() / scale
+        assert err < 5e-3, f"{name}: rel err {err}"

@@ -200,3 +200,22 @@ def test_pixelgs_and_cullsh_step(rng):
     assert np.isfinite(float(m["loss"]))
     # pixel counts accumulated into the densify weighting
     assert float(jnp.sum(tr.state.dstate.count)) > 0
+
+
+def test_2dgs_distortion_single_pass(rng):
+    """2DGS with normal + distortion losses trains through the shared
+    multi-channel pass (pallas backend)."""
+    from divshot_tpu.gsio.synthetic import random_scene
+    from divshot_tpu.train.trainer import Trainer
+
+    cfg = _session_cfg(num_iters=3)
+    cfg = cfg.replace(model_type=1, normal_consistency_loss=True,
+                      normal_start_iter=0, dist_loss_weight=1.0,
+                      dist_start_iter=0)
+    ds, _ = _tiny_dataset(rng, res=64)
+    params = random_scene(rng, 150, sh_degree=0, capacity=512)
+    rk = dict(_session_rk())
+    rk["backend"] = "pallas"
+    tr = Trainer(cfg, ds, params, render_kwargs=rk)
+    losses = [float(tr.step_once()["loss"]) for _ in range(3)]
+    assert all(np.isfinite(losses))
