@@ -41,6 +41,9 @@ def project_gaussians(
     antialiased: bool = False,
     near: float = 0.01,
     far: float = 1e10,
+    fov_clamp: tuple | None = None,   # (tan_fovx, tan_fovy) override —
+                                      # band/sub-viewport rendering keeps
+                                      # the FULL frame's EWA clamp
 ) -> Projection:
     viewmat = camera.viewmat
     R = viewmat[:3, :3]
@@ -53,6 +56,8 @@ def project_gaussians(
     tan_fovx, tan_fovy = camera.tan_fovx, camera.tan_fovy
     # clamp view-space xy as in gsplat_vs.hlsl:82-87 to bound the Jacobian
     zc = jnp.maximum(z, near)
+    if fov_clamp is not None:
+        tan_fovx, tan_fovy = fov_clamp
     tx = jnp.clip(p_view[..., 0] / zc, -1.3 * tan_fovx, 1.3 * tan_fovx) * zc
     ty = jnp.clip(p_view[..., 1] / zc, -1.3 * tan_fovy, 1.3 * tan_fovy) * zc
 

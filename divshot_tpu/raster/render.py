@@ -57,6 +57,7 @@ def render(
     override_colors: jax.Array | None = None,
     extra_colors: jax.Array | None = None,
     cull_sh_radius: float = 0.0,
+    fov_clamp: tuple | None = None,
 ) -> RenderOutput:
     """``absgrad_sink`` / ``means2d_sink`` are zero (N, 2) inputs whose
     cotangents harvest the AbsGS absolute and the signed screen-space
@@ -76,7 +77,7 @@ def render(
 
     proj = project_gaussians(
         params.means, params.scales, params.quats, camera,
-        eps2d=eps2d, antialiased=antialiased,
+        eps2d=eps2d, antialiased=antialiased, fov_clamp=fov_clamp,
     )
 
     if override_colors is not None:

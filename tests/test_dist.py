@@ -82,3 +82,26 @@ def test_parallel_matches_serial_loss(rng):
     np.testing.assert_allclose(
         np.asarray(state_p.params.means), np.asarray(state_b.params.means),
         atol=1e-5)
+
+
+def test_tile_sharded_render_matches_single(rng):
+    """Tile-banded multi-chip render == single-device render."""
+    import jax.numpy as jnp
+    from divshot_tpu.dist.mesh import make_mesh
+    from divshot_tpu.dist.tiles import render_tiled
+    from divshot_tpu.gsio.synthetic import random_scene
+    from divshot_tpu.splat.camera import Camera
+    from divshot_tpu.raster.render import render
+
+    params = random_scene(rng, 300, sh_degree=0)
+    cam = Camera.look_at([0, 0, -4.0], [0, 0, 0], [0, -1, 0], 50.0,
+                         128, 128)
+    mesh = make_mesh(n_data=8, n_model=1)
+    rk = dict(tile_capacity=512, instance_capacity=1 << 13,
+              backend="tiles")
+    img_t, alpha_t = render_tiled(params, cam, mesh, **rk)
+    out = render(params, cam, **rk)
+    np.testing.assert_allclose(np.asarray(img_t), np.asarray(out.image),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(alpha_t), np.asarray(out.alpha),
+                               atol=2e-3)

@@ -60,3 +60,41 @@ def test_render_views_pngs(rng, tmp_path):
     from PIL import Image
     im = Image.open(os.path.join(out, "00000.png"))
     assert im.size == (48, 48)
+
+
+def test_histogram_and_levels(rng):
+    from divshot_tpu.viewer.histogram import (
+        image_histogram, suggest_levels, apply_levels)
+    img = rng.uniform(0.2, 0.8, (32, 32, 3)).astype(np.float32)
+    h = image_histogram(img, bins=64)
+    assert h["luma"].sum() == 32 * 32
+    assert all(h[c].sum() == 32 * 32 for c in "rgb")
+    lv = suggest_levels(img)
+    assert 0.0 <= lv["black_point"] < lv["white_point"] <= 1.0
+    out = apply_levels(img, **lv)
+    # auto-levels stretches contrast
+    assert out.max() > img.max() - 1e-3
+    assert out.min() < img.min() + 1e-3
+
+
+def test_cmdvars():
+    from divshot_tpu.core.cmdvars import CmdVarRegistry, cvar
+    reg = CmdVarRegistry.instance()
+    v = cvar("test.someFlag", 3, "doc")
+    seen = []
+    v.on_change(seen.append)
+    reg.set("test.someFlag", "7")
+    assert v.value == 7 and seen == [7]
+    reg.apply_cli(["test.someFlag=9"])
+    assert v.value == 9
+    assert cvar("test.someFlag", 0) is v    # re-register returns same
+
+
+def test_step_timer():
+    from divshot_tpu.core.profiling import StepTimer, profile_scope
+    t = StepTimer()
+    with t.scope("step"):
+        with profile_scope("inner"):
+            _ = sum(range(1000))
+    s = t.summary()
+    assert "step" in s and s["step"]["count"] == 1
