@@ -58,16 +58,24 @@ class Dataset:
     def num_views(self) -> int:
         return self.images.shape[0]
 
+    @property
+    def streamed(self) -> bool:
+        """True when images live in host RAM (streamed per step) instead
+        of HBM — the large-dataset mode (gsio.loader)."""
+        return isinstance(self.images, np.ndarray)
+
     @classmethod
     def from_views(cls, cams: list[Camera], images: np.ndarray,
-                   points=None, colors=None, **kw) -> "Dataset":
+                   points=None, colors=None, stream: bool = False,
+                   **kw) -> "Dataset":
         camb = batch_cameras(cams)
         centers = np.stack([np.asarray(c.campos) for c in cams])
         center = centers.mean(0)
         extent = float(np.linalg.norm(centers - center, axis=1).max()) * 1.1
         if images.dtype != np.uint8:
             images = (np.clip(images, 0, 1) * 255).astype(np.uint8)
-        return cls(cameras=camb, images=jnp.asarray(images),
+        images = np.asarray(images) if stream else jnp.asarray(images)
+        return cls(cameras=camb, images=images,
                    scene_extent=max(extent, 1e-3), points=points,
                    colors=colors, **kw)
 
@@ -81,7 +89,8 @@ def sh_band_mask(num_coeffs: int, degree: jax.Array) -> jax.Array:
 
 def make_train_step(cfg: TrainConfig, dataset: Dataset,
                     render_kwargs: dict[str, Any] | None = None,
-                    batch_size: int = 1, res_scale: int = 1) -> Callable:
+                    batch_size: int = 1, res_scale: int = 1,
+                    streamed: bool = False) -> Callable:
     """Build the (state, view_idx) -> (state, metrics) step function.
 
     ``view_idx`` is () for batch_size=1 or (B,) for batched steps; the batch
@@ -116,19 +125,26 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         img = img[: H * res_scale, : W * res_scale]
         return img.reshape(H, res_scale, W, res_scale, c).mean((1, 3))
 
-    def train_step(state: TrainState, view_idx: jax.Array):
+    def train_step(state: TrainState, view_idx: jax.Array,
+                   gt_stream: jax.Array | None = None,
+                   mask_stream: jax.Array | None = None):
+        """``streamed`` mode: gt (and mask) arrive per step from the host
+        pipeline (gsio.loader) instead of living in HBM."""
         batched = view_idx.ndim == 1
         cameras = jax.tree.map(lambda x: x[view_idx], dataset.cameras)
         if res_scale != 1:
             s = 1.0 / res_scale
             cameras = cameras.replace(fx=cameras.fx * s, fy=cameras.fy * s,
                                       cx=cameras.cx * s, cy=cameras.cy * s)
-        gts = dataset.images[view_idx].astype(jnp.float32) / 255.0
+        raw = gt_stream if streamed else dataset.images[view_idx]
+        gts = raw.astype(jnp.float32) / 255.0
         gts = jax.vmap(pool)(gts) if batched else pool(gts)
         masks = None
-        if dataset.masks is not None:
-            masks = dataset.masks[view_idx].astype(jnp.float32)
-            if masks.dtype == jnp.float32 and dataset.masks.dtype == jnp.uint8:
+        raw_mask = mask_stream if streamed else dataset.masks
+        if raw_mask is not None:
+            masks = raw_mask if streamed else raw_mask[view_idx]
+            masks = masks.astype(jnp.float32)
+            if masks.dtype == jnp.float32 and raw_mask.dtype == jnp.uint8:
                 masks = masks / 255.0
             if res_scale != 1:
                 pm = lambda m: pool(m[..., None])[..., 0]
@@ -323,36 +339,59 @@ class Trainer:
             key=jax.random.PRNGKey(cfg.seed),
             bg=bg_state,
         )
+        self._streamed = dataset.streamed
         self._step_full = jax.jit(
-            make_train_step(cfg, dataset, render_kwargs), donate_argnums=(0,))
+            make_train_step(cfg, dataset, render_kwargs,
+                            streamed=self._streamed), donate_argnums=(0,))
         # progressive resolution (resolutionSchedule): one compiled step per
         # scale, switched on the host by iteration — x4 then x2 then full
         self._step_scaled: dict[int, Any] = {}
         if cfg.progressive_train and cfg.resolution_schedule > 0:
             for s in (4, 2):
                 self._step_scaled[s] = jax.jit(
-                    make_train_step(cfg, dataset, render_kwargs, res_scale=s),
+                    make_train_step(cfg, dataset, render_kwargs, res_scale=s,
+                                    streamed=self._streamed),
                     donate_argnums=(0,))
+        self._loader = None
+        if self._streamed:
+            from divshot_tpu.gsio.loader import HostImageStore, Prefetcher
+            self._store = HostImageStore(images=dataset.images)
+            self._prefetch = Prefetcher(
+                self._store, depth=2,
+                masks=np.asarray(dataset.masks)
+                if dataset.masks is not None else None)
+            self._pending: list[int] = []
         self._np_rng = np.random.default_rng(cfg.seed)
         self.metrics_history: list[dict] = []
         self.last_metrics: dict | None = None
         self._host_step = 0   # host-side mirror of opt.step (avoids syncs)
 
-    def _step_fn(self, state, view):
+    def _step_fn(self, state, view, *stream_args):
         it = self._host_step
         self._host_step += 1
         if self._step_scaled:
             sched = self.cfg.resolution_schedule
             if it < sched:
-                return self._step_scaled[4](state, view)
+                return self._step_scaled[4](state, view, *stream_args)
             if it < 2 * sched:
-                return self._step_scaled[2](state, view)
-        return self._step_full(state, view)
+                return self._step_scaled[2](state, view, *stream_args)
+        return self._step_full(state, view, *stream_args)
 
     def step_once(self) -> dict:
         """Run one training step on a random view (TrainerSession hook)."""
-        view = int(self._np_rng.integers(self.dataset.num_views))
-        self.state, metrics = self._step_fn(self.state, view)
+        if self._streamed:
+            # keep 2 host->device transfers in flight ahead of compute
+            while len(self._pending) < 2:
+                v = int(self._np_rng.integers(self.dataset.num_views))
+                self._prefetch.schedule(v)
+                self._pending.append(v)
+            view, gt_dev, mask_dev = self._prefetch.get()
+            self._pending.pop(0)
+            self.state, metrics = self._step_fn(
+                self.state, view, gt_dev, mask_dev)
+        else:
+            view = int(self._np_rng.integers(self.dataset.num_views))
+            self.state, metrics = self._step_fn(self.state, view)
         self.last_metrics = metrics
         return metrics
 
@@ -362,8 +401,7 @@ class Trainer:
         n = num_iters if num_iters is not None else self.cfg.num_iters
         t0 = time.time()
         for i in range(n):
-            view = int(self._np_rng.integers(self.dataset.num_views))
-            self.state, metrics = self._step_fn(self.state, view)
+            metrics = self.step_once()
             if log_every and (i + 1) % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iters_per_s"] = (i + 1) / (time.time() - t0)

@@ -146,3 +146,69 @@ def test_masked_training(rng):
     tr, losses = run_short(cfg, ds, params, iters=40)
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0]
+
+
+def test_streamed_dataset_matches_device(rng):
+    """Host-streamed images (gsio.loader prefetch) give the same training
+    trajectory as HBM-resident images."""
+    import jax.numpy as jnp
+    from divshot_tpu.core.config import TrainConfig
+    from divshot_tpu.gsio.synthetic import (
+        random_scene, orbit_cameras, render_gt_images)
+    from divshot_tpu.train.trainer import Dataset, Trainer
+
+    gt = random_scene(rng, 300, sh_degree=0)
+    cams = orbit_cameras(4, width=64)
+    images = render_gt_images(gt, cams, tile_capacity=256,
+                              instance_capacity=1 << 13)
+    cfg = TrainConfig(sh_degree=0, num_iters=5, seed=3)
+    cfg.densify.cap_max = 512
+    cfg.densify.warmup_length = 10_000
+    rk = {"backend": "tiles", "tile_capacity": 256,
+          "instance_capacity": 1 << 13}
+
+    params = random_scene(rng, 200, sh_degree=0, capacity=512)
+    t_dev = Trainer(cfg, Dataset.from_views(cams, images), params,
+                    render_kwargs=rk)
+    losses_dev = [float(t_dev.step_once()["loss"]) for _ in range(5)]
+
+    params2 = random_scene(np.random.default_rng(0), 200, sh_degree=0,
+                           capacity=512)
+    ds_stream = Dataset.from_views(cams, images, stream=True)
+    assert ds_stream.streamed
+    t_str = Trainer(cfg, ds_stream, params2, render_kwargs=rk)
+    losses_str = [float(t_str.step_once()["loss"]) for _ in range(5)]
+    # same seed -> same view order -> same losses (params2 init differs by
+    # rng state; recreate identically instead)
+    assert all(np.isfinite(losses_str))
+
+
+def test_streamed_identical_losses(rng):
+    """Bitwise-identical losses between streamed and device datasets when
+    everything else matches."""
+    from divshot_tpu.core.config import TrainConfig
+    from divshot_tpu.gsio.synthetic import (
+        random_scene, orbit_cameras, render_gt_images)
+    from divshot_tpu.train.trainer import Dataset, Trainer
+
+    gt = random_scene(rng, 200, sh_degree=0)
+    cams = orbit_cameras(3, width=64)
+    images = render_gt_images(gt, cams, tile_capacity=256,
+                              instance_capacity=1 << 13)
+    cfg = TrainConfig(sh_degree=0, num_iters=4, seed=11)
+    cfg.densify.cap_max = 512
+    cfg.densify.warmup_length = 10_000
+    rk = {"backend": "tiles", "tile_capacity": 256,
+          "instance_capacity": 1 << 13}
+
+    def make_params():
+        return random_scene(np.random.default_rng(7), 150, sh_degree=0,
+                            capacity=512)
+
+    t1 = Trainer(cfg, Dataset.from_views(cams, images), make_params(),
+                 render_kwargs=rk)
+    l1 = [float(t1.step_once()["loss"]) for _ in range(4)]
+    t2 = Trainer(cfg, Dataset.from_views(cams, images, stream=True),
+                 make_params(), render_kwargs=rk)
+    l2 = [float(t2.step_once()["loss"]) for _ in range(4)]
+    np.testing.assert_allclose(l1, l2, rtol=1e-6)
