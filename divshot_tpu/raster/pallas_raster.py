@@ -50,13 +50,22 @@ ALPHA_MAX = 0.999
 T_EPS = 1e-4
 
 BLK = 256            # instances per block (= lanes)
-FEAT = 16            # rows: u v a b c op ch0..ch6 (pad)
-NGRAD = 16           # rows: du dv da db dc dop dch0..dch6 |du| |dv| npix
 MAX_CH = 7
 ROW_OP = 5
 ROW_CH = 6           # first channel row in FEAT / first dcolor row in NGRAD
 ROW_T = 7            # T row in the (T, 8, px) forward output / cotangent
-ROW_ABS = 13         # |du| |dv| at 13, 14; npix at 15
+
+
+def _feat_rows(nch: int) -> int:
+    """u v a b c op + nch channels, padded to the sublane tile (8) —
+    Mosaic requires dim-0 DMA slices in multiples of 8."""
+    return (6 + nch + 7) // 8 * 8
+
+
+def _ngrad_rows(nch: int) -> int:
+    """du dv da db dc dop + nch channel grads + |du| |dv| npix, padded to
+    the sublane tile (8)."""
+    return (9 + nch + 7) // 8 * 8
 
 
 def _tri_lower():
@@ -182,19 +191,20 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
 
 def build_feature_table(means2d, conics, colors, opacities,
                         inst_gauss) -> jax.Array:
-    """(FEAT, I) f32 feature-major table in depth-sorted instance order;
+    """(6+nch, I) f32 feature-major table in depth-sorted instance order;
     ``colors`` is (N, C) with C <= 7 channels (rgb + aux planes). One
     lane-gather of the per-gaussian feature matrix — the only per-instance
-    random memory op in the forward."""
+    random memory op in the forward; rows are sized to what's used so the
+    gather and the kernel DMAs move no padding."""
     n = means2d.shape[0]
     nch = colors.shape[1]
     assert nch <= MAX_CH, f"at most {MAX_CH} channels"
     featT = jnp.concatenate([
         means2d.T, conics.T, opacities[None, :], colors.T,
-        jnp.zeros((FEAT - 6 - nch, n), jnp.float32),
-    ], axis=0)                                    # (FEAT, N)
+        jnp.zeros((_feat_rows(nch) - 6 - nch, n), jnp.float32),
+    ], axis=0)                                    # (_feat_rows, N)
     safe = jnp.clip(inst_gauss, 0, n - 1)
-    tab = jnp.take(featT, safe, axis=1)           # (FEAT, I)
+    tab = jnp.take(featT, safe, axis=1)           # (6+nch, I)
     op = jnp.where(inst_gauss >= 0, tab[ROW_OP], 0.0)
     return jax.lax.dynamic_update_slice(tab, op[None, :], (ROW_OP, 0))
 
@@ -253,7 +263,7 @@ def rasterize_forward(
                 (1, 8, px), lambda t, *_: (t, 0, 0),
                 memory_space=pltpu.VMEM),
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT, BLK), jnp.float32),
+                pltpu.VMEM((2, _feat_rows(nch), BLK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
             ],
         ),
@@ -287,10 +297,11 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
     gx, gy = _pixel_grid(tile_size, t, tiles_x)
     tri = _tri_lower()
     nchunks = jnp.where(e > s, pl.cdiv(e - b0 * BLK, BLK), 0)
+    ngrad = _ngrad_rows(nch)
     # chunk 0 is boundary-owned when the tile range starts mid-block
     first_main = jnp.where(s % BLK == 0, 0, 1)
 
-    bnd_ref[0] = jnp.zeros((NGRAD, BLK), jnp.float32)
+    bnd_ref[0] = jnp.zeros((ngrad, BLK), jnp.float32)
 
     g_ch = [cot_ref[0, k:k + 1, :].T for k in range(nch)]    # (px, 1) each
     g_T = cot_ref[0, ROW_T:ROW_T + 1, :].T
@@ -353,10 +364,11 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
 
         rows = [red(d_u), red(d_v), red(d_a), red(d_b), red(d_c), red(d_op)]
         rows += [red(w * g_ch[k]) for k in range(nch)]
-        rows += [jnp.zeros((ROW_ABS - 6 - nch, BLK), jnp.float32)] \
-            if ROW_ABS - 6 - nch else []
         rows += [red(jnp.abs(d_u)), red(jnp.abs(d_v)),
                  red(live.astype(jnp.float32))]
+        pad_rows = ngrad - (9 + nch)
+        if pad_rows:
+            rows.append(jnp.zeros((pad_rows, BLK), jnp.float32))
         packed = jnp.concatenate(rows, axis=0)
 
         @pl.when(c < first_main)
@@ -394,7 +406,7 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
 
     # zero-fill the tile-owned main blocks the early stop skipped
     def zbody(c, _):
-        gscratch[:] = jnp.zeros((NGRAD, BLK), jnp.float32)
+        gscratch[:] = jnp.zeros((ngrad, BLK), jnp.float32)
         cp = pltpu.make_async_copy(
             gscratch, grad_hbm.at[:, pl.ds((b0 + c) * BLK, BLK)], gsem)
         cp.start()
@@ -444,19 +456,21 @@ def rasterize_backward(
             ],
             out_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, NGRAD, BLK), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, _ngrad_rows(nch), BLK),
+                             lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             scratch_shapes=[
-                pltpu.VMEM((2, FEAT, BLK), jnp.float32),
-                pltpu.VMEM((NGRAD, BLK), jnp.float32),
+                pltpu.VMEM((2, _feat_rows(nch), BLK), jnp.float32),
+                pltpu.VMEM((_ngrad_rows(nch), BLK), jnp.float32),
                 pltpu.SemaphoreType.DMA((2,)),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((NGRAD, icap), jnp.float32),
-            jax.ShapeDtypeStruct((num_tiles, NGRAD, BLK), jnp.float32),
+            jax.ShapeDtypeStruct((_ngrad_rows(nch), icap), jnp.float32),
+            jax.ShapeDtypeStruct((num_tiles, _ngrad_rows(nch), BLK),
+                                 jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",), has_side_effects=True),
@@ -478,11 +492,12 @@ def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
     -> dict(means2d (N,2), conics (N,3), colors (N,nch), opacity (N,),
             absgrad (N,2), npix (N,))."""
     icap = grads.shape[1]
+    ngrad = grads.shape[0]
     nb = icap // BLK
     bidx = tile_start[:-1] // BLK                        # (T,)
-    gm = grads.reshape(NGRAD, nb, BLK)
+    gm = grads.reshape(ngrad, nb, BLK)
     gm = gm.at[:, bidx].add(bnd.transpose(1, 0, 2))
-    g = gm.reshape(NGRAD, icap)
+    g = gm.reshape(ngrad, icap)
 
     ge = jnp.take(g, exp2sorted, axis=1)                 # expansion order
     S = jnp.cumsum(ge, axis=1)
@@ -490,14 +505,14 @@ def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
     lo = g_offsets - 1
     Shi = S[:, hi]
     Slo = jnp.where(lo[None, :] >= 0, S[:, jnp.clip(lo, 0, icap - 1)], 0.0)
-    seg = jnp.where((g_counts > 0)[None, :], Shi - Slo, 0.0)   # (NGRAD, N)
+    seg = jnp.where((g_counts > 0)[None, :], Shi - Slo, 0.0)   # (ngrad, N)
     return {
         "means2d": seg[0:2].T,
         "conics": seg[2:5].T,
         "opacity": seg[5],
         "colors": seg[ROW_CH:ROW_CH + nch].T,
-        "absgrad": seg[ROW_ABS:ROW_ABS + 2].T,
-        "npix": seg[ROW_ABS + 2],
+        "absgrad": seg[6 + nch:8 + nch].T,
+        "npix": seg[8 + nch],
     }
 
 

@@ -132,21 +132,25 @@ def bin_gaussians(
     # identity ride to instances through a hold-last associative scan.
     iota = jnp.arange(cap, dtype=jnp.int32)
     goff = jnp.where(counts > 0, offsets, cap)             # drop empty/overflow
-    bnd = jnp.zeros((cap,), jnp.int32).at[goff].set(1, mode="drop")
-    start = jax.lax.cummax(jnp.where(bnd > 0, iota, 0))
-    j = iota - start                                       # rank within gaussian
 
     dbits = pltpu_bitcast_u32(jnp.where(depths > 0, depths, jnp.inf))
     tmin_lin = (tmin_y * tw + tmin_x).astype(jnp.uint32)
     nx_safe = jnp.maximum(nx, 1).astype(jnp.uint32)
-    chA_g = (tmin_lin << 13) | nx_safe                     # nx < 2^13
+    chA_g = (tmin_lin << 13) | nx_safe                     # nx >= 1 => != 0
     chB_g = ((dbits >> lo_bits) << lo_bits) | counts.astype(jnp.uint32)
     gid_g = jnp.arange(n, dtype=jnp.int32)
 
-    chA = jnp.zeros((cap,), jnp.uint32).at[goff].set(chA_g, mode="drop")
-    chB = jnp.zeros((cap,), jnp.uint32).at[goff].set(chB_g, mode="drop")
-    own = jnp.full((cap,), -1, jnp.int32).at[goff].set(gid_g, mode="drop")
-    chA, chB, owner = _hold_last_scan((chA, chB, own), bnd > 0)
+    # one fused row scatter for all three channels (row scatters cost the
+    # same as scalar scatters on TPU; separate ones would triple it);
+    # chA_g is never 0, so the scatter doubles as the boundary flag
+    rows = jnp.stack([chA_g, chB_g,
+                      gid_g.astype(jnp.uint32) + jnp.uint32(1)], axis=1)
+    M = jnp.zeros((cap, 3), jnp.uint32).at[goff].set(rows, mode="drop")
+    flag = M[:, 0] != 0
+    start = jax.lax.cummax(jnp.where(flag, iota, 0))
+    j = iota - start                                       # rank within gaussian
+    chA, chB, own1 = _hold_last_scan((M[:, 0], M[:, 1], M[:, 2]), flag)
+    owner = own1.astype(jnp.int32) - 1            # 0 sentinel -> -1
 
     nx_i = (chA & jnp.uint32(0x1FFF)).astype(jnp.int32)
     tmin_i = (chA >> 13).astype(jnp.int32)
