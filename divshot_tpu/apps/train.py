@@ -27,8 +27,6 @@ def main(argv=None):
         random_scene, orbit_cameras, render_gt_images)
     from divshot_tpu.train.trainer import Trainer, Dataset
     from divshot_tpu.train import checkpoint as CK
-    from divshot_tpu.train.losses import psnr
-    from divshot_tpu.raster.render import render
     from divshot_tpu.gsio import ply as P
     from tqdm import tqdm
     import jax.numpy as jnp
@@ -60,7 +58,7 @@ def main(argv=None):
             cfg.source_path, cfg.dataset_type,
             max_width=cfg.max_image_width, max_height=cfg.max_image_height,
             eval_holdout=cfg.eval_holdout, max_images=cfg.max_image_count,
-            white_background=cfg.white_background)
+            white_background=cfg.white_background, use_mask=cfg.use_mask)
         points, colors = ds.points, ds.colors
         if points is None:
             # no SfM cloud (e.g. blender): random init in the camera bbox
@@ -97,6 +95,29 @@ def main(argv=None):
     start = int(np.asarray(trainer.state.opt.step))
     pbar = tqdm(total=cfg.num_iters, initial=start, desc="train")
 
+    from divshot_tpu.train.evaluate import evaluate
+    bg = jnp.ones((3,), jnp.float32) if cfg.white_background else None
+    eval_rk = {"backend": trainer._render_kwargs.get("backend", "pallas"),
+               "instance_capacity": 1 << 20,
+               "antialiased": cfg.raster.mip_antialiased}
+    eval_curve: list[dict] = []
+
+    def run_eval(step):
+        if eval_ds is None:
+            return None
+        ev = evaluate(trainer.state.params, eval_ds,
+                      render_kwargs=eval_rk, background=bg)
+        entry = {"step": step, "psnr": ev["psnr"], "ssim": ev["ssim"],
+                 "num_alive": int(np.asarray(jnp.sum(
+                     trainer.state.params.alive.astype(jnp.int32))))}
+        eval_curve.append(entry)
+        metrics_csv.write(step, {"eval_psnr": ev["psnr"],
+                                 "eval_ssim": ev["ssim"]})
+        import json as _json
+        with open(os.path.join(model_path, "eval_curve.json"), "w") as f:
+            _json.dump(eval_curve, f, indent=1)
+        return ev
+
     def callback(i, state, m):
         step = start + i + 1
         pbar.update(1)
@@ -104,11 +125,17 @@ def main(argv=None):
             metrics_csv.write(step, {k: v for k, v in m.items()})
             pbar.set_postfix(loss=f"{float(m['loss']):.4f}",
                              alive=int(m["num_alive"]))
+            trainer.check_overflow(m)
         # checkpoint cadence: every checkpoint_every past warmup
         # (gs_train.cpp:165-166)
         if (step % cfg.checkpoint_every == 0
                 and step > cfg.densify.reset_alpha_every):
             CK.save_checkpoint(model_path, state, step=step)
+        if cfg.eval_every and step % cfg.eval_every == 0:
+            ev = run_eval(step)
+            if ev:
+                pbar.write(f"[eval @ {step}] PSNR {ev['psnr']:.2f} dB  "
+                           f"SSIM {ev['ssim']:.4f}")
         phase.progress = step / cfg.num_iters
 
     trainer.run(cfg.num_iters - start, log_every=0, callback=callback)
@@ -122,19 +149,11 @@ def main(argv=None):
                antialiased=cfg.raster.mip_antialiased)
     print(f"saved {out_ply}")
 
-    # eval PSNR on holdout
-    if eval_ds is not None:
-        tot = []
-        for i in range(eval_ds.num_views):
-            cam = jax.tree.map(lambda x: x[i], eval_ds.cameras)
-            cam = cam.replace(width=eval_ds.cameras.width,
-                              height=eval_ds.cameras.height)
-            out = render(trainer.state.params, cam, backend="pallas",
-                         instance_capacity=1 << 20)
-            gt_img = eval_ds.images[i].astype(jnp.float32) / 255.0
-            tot.append(float(psnr(out.image, gt_img)))
-        print(f"eval PSNR over {len(tot)} views: {np.mean(tot):.2f} dB")
-        metrics_csv.write(int(cfg.num_iters), {"eval_psnr": np.mean(tot)})
+    # final eval PSNR/SSIM on the test split
+    ev = run_eval(int(cfg.num_iters))
+    if ev is not None:
+        print(f"final eval over {ev['n_views']} views: "
+              f"PSNR {ev['psnr']:.2f} dB  SSIM {ev['ssim']:.4f}")
     metrics_csv.close()
     return 0
 

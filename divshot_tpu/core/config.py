@@ -55,7 +55,7 @@ class DensifyConfig:
     """Densification / pruning schedule — field-for-field semantics of the
     reference config (§2.9 of SURVEY.md)."""
 
-    strategy: int = DensifyStrategy.ADC_PLUS
+    strategy: int = DensifyStrategy.MCMC  # reference CLI default (main.cpp:20)
     cap_max: int = 2_000_000          # max splats (MCMC hard cap / buffer size)
     refine_every: int = 100
     warmup_length: int = 500
@@ -101,6 +101,7 @@ class TrainConfig:
     use_mask: bool = False
     white_background: bool = False
     eval_holdout: int = 0             # every Nth image held out (0 = none)
+    eval_every: int = 0               # test-split PSNR/SSIM cadence (0 = end only)
 
     # model
     model_type: int = ModelType.GS3D
@@ -218,6 +219,7 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         "max_image_height": "max_image_height",
         "max_image_count": "max_image_count",
         "eval_holdout": "eval_holdout",
+        "eval_every": "eval_every",
         "visible_adam": "optim.visible_adam",
         "checkpoint_every": "checkpoint_every",
         "seed": "seed",

@@ -120,7 +120,8 @@ def _chunk_geometry(buf, gx, gy, gid_lo, gid_hi):
 
 
 def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
-                    *, tile_size: int, tiles_x: int, nch: int):
+                    *, tile_size: int, tiles_x: int, nch: int,
+                    t_eps: float = T_EPS):
     t = pl.program_id(0)
     s = tile_start_ref[t]
     e = tile_start_ref[t + 1]
@@ -154,7 +155,7 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
         one_m = 1.0 - alpha
         incl = _prefix_prod_lanes(one_m, tri)
         q_incl = T_px * incl
-        applied = q_incl >= T_EPS
+        applied = q_incl >= t_eps
         w = jnp.where(applied, alpha * T_px * (incl / one_m), 0.0)
         accs = tuple(
             acc + jnp.sum(w * buf[ROW_CH + k:ROW_CH + k + 1, :], axis=1,
@@ -166,7 +167,7 @@ def _forward_kernel(tile_start_ref, inst_hbm, out_ref, scratch, sem,
 
     def cond(state):
         c, (T_px, _a) = state
-        return (c < nchunks) & (jnp.max(T_px) >= T_EPS)
+        return (c < nchunks) & (jnp.max(T_px) >= t_eps)
 
     def wbody(state):
         c, carry = state
@@ -232,7 +233,8 @@ def _image_to_tiles(img: jax.Array, tiles_x: int, tiles_y: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_size", "nch", "interpret"))
+    static_argnames=("width", "height", "tile_size", "nch", "interpret",
+                     "t_eps"))
 def rasterize_forward(
     inst_table: jax.Array,     # (FEAT, I)
     tile_start: jax.Array,     # (T+1,) int32 raw sorted offsets
@@ -242,6 +244,7 @@ def rasterize_forward(
     tile_size: int = 16,
     nch: int = 3,
     interpret: bool = False,
+    t_eps: float = T_EPS,
 ) -> jax.Array:
     """-> per-tile rows (T, 8, px): channels at rows 0..nch-1, T at row 7,
     all pre-background."""
@@ -251,7 +254,8 @@ def rasterize_forward(
     px = tile_size * tile_size
 
     kernel = functools.partial(
-        _forward_kernel, tile_size=tile_size, tiles_x=tiles_x, nch=nch)
+        _forward_kernel, tile_size=tile_size, tiles_x=tiles_x, nch=nch,
+        t_eps=t_eps)
 
     return pl.pallas_call(
         kernel,
@@ -280,7 +284,8 @@ def rasterize_forward(
 
 def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
                      grad_hbm, bnd_ref, scratch, gscratch, sem, gsem,
-                     *, tile_size: int, tiles_x: int, nch: int):
+                     *, tile_size: int, tiles_x: int, nch: int,
+                     t_eps: float = T_EPS):
     """One front-to-back sweep per tile. The suffix color sum ("rear") is
     recovered from the forward's final accumulator: rear_i = C_fin - C_incl,i.
 
@@ -334,7 +339,7 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
         one_m = 1.0 - alpha
         incl = _prefix_prod_lanes(one_m, tri)
         q_incl = T_px * incl
-        applied = q_incl >= T_EPS
+        applied = q_incl >= t_eps
         T_excl = T_px * (incl / one_m)
         w = jnp.where(applied, alpha * T_excl, 0.0)
 
@@ -390,7 +395,7 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
 
     def cond(state):
         c, (T_px, *_r) = state
-        return (c < nchunks) & (jnp.max(T_px) >= T_EPS)
+        return (c < nchunks) & (jnp.max(T_px) >= t_eps)
 
     def wbody(state):
         c, carry = state
@@ -418,7 +423,8 @@ def _backward_kernel(tile_start_ref, inst_hbm, cot_ref, fwd_ref,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "tile_size", "nch", "interpret"))
+    static_argnames=("width", "height", "tile_size", "nch", "interpret",
+                     "t_eps"))
 def rasterize_backward(
     inst_table: jax.Array,     # (FEAT, I)
     tile_start: jax.Array,     # (T+1,) int32
@@ -430,6 +436,7 @@ def rasterize_backward(
     tile_size: int = 16,
     nch: int = 3,
     interpret: bool = False,
+    t_eps: float = T_EPS,
 ) -> tuple[jax.Array, jax.Array]:
     """-> (per-instance grads (NGRAD, I), boundary blocks (T, NGRAD, BLK)).
     Grad rows: [du dv da db dc dop dch0..dch{nch-1} .. |du| |dv| npix]."""
@@ -440,7 +447,8 @@ def rasterize_backward(
     icap = inst_table.shape[1]
 
     kernel = functools.partial(
-        _backward_kernel, tile_size=tile_size, tiles_x=tiles_x, nch=nch)
+        _backward_kernel, tile_size=tile_size, tiles_x=tiles_x, nch=nch,
+        t_eps=t_eps)
 
     grads, bnd = pl.pallas_call(
         kernel,
@@ -522,7 +530,7 @@ def reduce_instance_grads(grads: jax.Array, bnd: jax.Array,
 
 @functools.lru_cache(maxsize=None)
 def _make_raster(width: int, height: int, tile_size: int, nch: int,
-                 interpret: bool):
+                 interpret: bool, t_eps: float = T_EPS):
     tiles_x = (width + tile_size - 1) // tile_size
     tiles_y = (height + tile_size - 1) // tile_size
 
@@ -532,7 +540,7 @@ def _make_raster(width: int, height: int, tile_size: int, nch: int,
                                     inst_gauss)
         out = rasterize_forward(
             table, tile_start, width=width, height=height,
-            tile_size=tile_size, nch=nch, interpret=interpret)
+            tile_size=tile_size, nch=nch, interpret=interpret, t_eps=t_eps)
         return table, out
 
     def _split(out, background):
@@ -581,7 +589,7 @@ def _make_raster(width: int, height: int, tile_size: int, nch: int,
         cot_tiles = _image_to_tiles(cot_img, tiles_x, tiles_y, tile_size)
         grads, bnd = rasterize_backward(
             table, tile_start, cot_tiles, out, width=width, height=height,
-            tile_size=tile_size, nch=nch, interpret=interpret)
+            tile_size=tile_size, nch=nch, interpret=interpret, t_eps=t_eps)
         g = reduce_instance_grads(grads, bnd, tile_start, exp2sorted,
                                   g_offsets, g_counts, nch=nch)
         d_bg = jnp.einsum("hwc,hw->c", g_img[..., :3], T_px)
@@ -596,7 +604,7 @@ def rasterize_pallas(
     means2d, conics, colors, opacities, bins,
     *, width: int, height: int, tile_size: int = 16,
     background=None, absgrad_sink=None, npix_sink=None,
-    interpret: bool = False,
+    t_eps: float = T_EPS, interpret: bool = False,
 ):
     """Differentiable Pallas rasterization: -> (img (H, W, C), alpha (H, W)).
 
@@ -610,7 +618,7 @@ def rasterize_pallas(
     if npix_sink is None:
         npix_sink = jnp.zeros((means2d.shape[0],), jnp.float32)
     nch = colors.shape[1]
-    fn = _make_raster(width, height, tile_size, nch, interpret)
+    fn = _make_raster(width, height, tile_size, nch, interpret, t_eps)
     return fn(means2d, conics, colors, opacities, background,
               absgrad_sink, npix_sink, bins.inst_gauss, bins.tile_start,
               bins.exp2sorted, bins.g_offsets, bins.g_counts)

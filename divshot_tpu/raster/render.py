@@ -35,6 +35,11 @@ class RenderOutput(NamedTuple):
                            # differentiate w.r.t. these for densify stats
     absgrad_sink: jax.Array
     extra: jax.Array | None = None   # (H, W, E) extra composited planes
+    # capacity diagnostics — true (pre-cap) instance count and the largest
+    # per-tile instance list; callers surface overflow vs the static
+    # capacities (binning silently drops the excess otherwise)
+    num_instances: jax.Array | None = None   # () int32
+    max_tile_count: jax.Array | None = None  # () int32
 
 
 def render(
@@ -47,10 +52,13 @@ def render(
     tile_size: int = 16,
     tile_capacity: int = 1024,
     instance_capacity: int | None = None,
+    instance_capacity_mult: float = 8.0,
     max_tiles_per_gaussian: int = 64,
     chunk: int = 32,
     eps2d: float = 0.3,
     antialiased: bool = False,
+    radius_clip: float = 0.0,
+    t_eps: float = 1e-4,
     absgrad_sink: jax.Array | None = None,
     means2d_sink: jax.Array | None = None,
     npix_sink: jax.Array | None = None,
@@ -79,6 +87,11 @@ def render(
         params.means, params.scales, params.quats, camera,
         eps2d=eps2d, antialiased=antialiased, fov_clamp=fov_clamp,
     )
+    if radius_clip > 0.0:
+        # radiusClip: cull splats whose projected radius is below the
+        # threshold (reference RasterConfig.radius_clip semantics)
+        proj = proj._replace(radii=jnp.where(proj.radii > radius_clip,
+                                             proj.radii, 0.0))
 
     if override_colors is not None:
         colors = override_colors
@@ -113,7 +126,8 @@ def render(
         return RenderOutput(img, alpha, proj, proj.means2d, sink)
 
     if instance_capacity is None:
-        instance_capacity = max(1 << 16, 4 * params.capacity)
+        instance_capacity = max(1 << 16,
+                                int(instance_capacity_mult * params.capacity))
     bins = _tiles.bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
         jax.lax.stop_gradient(proj.depths),
@@ -128,6 +142,7 @@ def render(
         absgrad_sink = jnp.zeros((params.capacity, 2), jnp.float32)
     means2d = proj.means2d if means2d_sink is None \
         else proj.means2d + means2d_sink
+    max_tile_count = jnp.max(bins.tile_counts)
 
     if backend == "pallas":
         from divshot_tpu.raster import pallas_raster as _pr
@@ -138,16 +153,17 @@ def render(
             means2d, proj.conics, cols, opac, bins,
             width=camera.width, height=camera.height, tile_size=tile_size,
             background=background, absgrad_sink=absgrad_sink,
-            npix_sink=npix_sink, interpret=interp)
+            npix_sink=npix_sink, t_eps=t_eps, interpret=interp)
         extra = None
         if extra_colors is not None:
             img, extra = img[..., :3], img[..., 3:]
         return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink,
-                            extra)
+                            extra, bins.num_instances, max_tile_count)
 
     img, alpha = _tiles.composite_tiles(
         means2d, proj.conics, colors, opac, bins.ids_mat,
         camera.width, camera.height, tile_size=tile_size, chunk=chunk,
-        background=background, absgrad_sink=absgrad_sink,
+        background=background, absgrad_sink=absgrad_sink, t_eps=t_eps,
     )
-    return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink)
+    return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink, None,
+                        bins.num_instances, max_tile_count)

@@ -116,7 +116,9 @@ def bin_gaussians(
     ny = tmax_y - tmin_y
     counts = jnp.minimum(jnp.where(visible, nx * ny, 0), mt)
     offsets = jnp.cumsum(counts) - counts                  # exclusive
-    total = jnp.minimum(offsets[-1] + counts[-1], cap)
+    # TRUE demanded instance count — may exceed ``cap``; callers compare it
+    # against instance_capacity to surface silent-drop overflow
+    total = offsets[-1] + counts[-1]
 
     tile_bits = max(1, (num_tiles + 1).bit_length())
     depth_bits = 32 - tile_bits
@@ -226,7 +228,8 @@ def _chunk_alpha(m2d, con, op, ids, pix):
 
 
 @functools.lru_cache(maxsize=None)
-def _make_compositor(width: int, height: int, tile_size: int, chunk: int):
+def _make_compositor(width: int, height: int, tile_size: int, chunk: int,
+                     t_eps: float = T_EPS):
     pix_np = _pixel_coords(width, height, tile_size)
     tw, th = _tile_grid(width, height, tile_size)
     num_tiles = tw * th
@@ -254,7 +257,7 @@ def _make_compositor(width: int, height: int, tile_size: int, chunk: int):
             alpha, _, _, _ = _chunk_alpha(m2d, con, op, ids, pix)
             one_m = 1.0 - alpha
             q = T[:, None, :] * jnp.cumprod(one_m, axis=1)       # (T, CH, px)
-            applied = (q >= T_EPS) & ~done[:, None, :]
+            applied = (q >= t_eps) & ~done[:, None, :]
             a_eff = jnp.where(applied, alpha, 0.0)
             om_eff = 1.0 - a_eff
             T_excl = T[:, None, :] * jnp.concatenate(
@@ -263,7 +266,7 @@ def _make_compositor(width: int, height: int, tile_size: int, chunk: int):
             w = a_eff * T_excl                                    # (T, CH, px)
             accum = accum + jnp.einsum("tcp,tcd->tpd", w, col)
             T = T * jnp.prod(om_eff, axis=1)
-            done = done | jnp.any(q < T_EPS, axis=1)
+            done = done | jnp.any(q < t_eps, axis=1)
             n_contrib = n_contrib + jnp.sum(applied, axis=1).astype(jnp.int32)
             return (accum, T, done, n_contrib), None
 
@@ -426,6 +429,7 @@ def composite_tiles(
     chunk: int = 32,
     background: jax.Array | None = None,
     absgrad_sink: jax.Array | None = None,
+    t_eps: float = T_EPS,
     _use_autodiff: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """Composite binned gaussians into (image (H, W, 3), alpha (H, W)).
@@ -438,7 +442,8 @@ def composite_tiles(
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((means2d.shape[0], 2), jnp.float32)
     assert ids_mat.shape[1] % chunk == 0, "tile_capacity must be divisible by chunk"
-    composite, composite_ad = _make_compositor(width, height, tile_size, chunk)
+    composite, composite_ad = _make_compositor(width, height, tile_size,
+                                                chunk, t_eps)
     fn = composite_ad if _use_autodiff else composite
     return fn(means2d, conics, colors, opacities, background,
               absgrad_sink, ids_mat)

@@ -65,10 +65,16 @@ def l1(img1: jax.Array, img2: jax.Array) -> jax.Array:
 
 
 def photometric_loss(pred: jax.Array, gt: jax.Array,
-                     ssim_weight: float = 0.2) -> jax.Array:
-    """(1-w)·L1 + w·(1-SSIM) — the reference trainer's loss (SURVEY §3.3)."""
+                     ssim_weight: float | jax.Array = 0.2,
+                     use_ssim: bool | None = None) -> jax.Array:
+    """(1-w)·L1 + w·(1-SSIM) — the reference trainer's loss (SURVEY §3.3).
+
+    ``ssim_weight`` may be a traced scalar (live config); the structural
+    decision to compute SSIM at all is then taken from ``use_ssim``."""
+    if use_ssim is None:
+        use_ssim = isinstance(ssim_weight, jax.Array) or ssim_weight > 0
     loss = (1.0 - ssim_weight) * l1(pred, gt)
-    if ssim_weight > 0:
+    if use_ssim:
         loss = loss + ssim_weight * (1.0 - ssim(pred, gt))
     return loss
 

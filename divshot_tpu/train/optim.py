@@ -39,26 +39,38 @@ class AdamState:
 
 
 def pos_lr_schedule(cfg: OptimConfig, step: jax.Array,
-                    scene_extent: float) -> jax.Array:
+                    scene_extent: float,
+                    init: jax.Array | None = None,
+                    final: jax.Array | None = None) -> jax.Array:
     """graphdeco get_expon_lr_func: log-lerp init→final over max_steps with
-    sine delay ramp of delay_mult; lrs scale by scene extent."""
+    sine delay ramp of delay_mult; lrs scale by scene extent.
+
+    ``init``/``final`` may be traced scalars (live-config overrides)."""
+    init = cfg.pos_lr_init if init is None else init
+    final = cfg.pos_lr_final if final is None else final
     t = jnp.clip(step / cfg.pos_lr_max_steps, 0.0, 1.0)
-    log_lerp = jnp.exp(jnp.log(cfg.pos_lr_init) * (1 - t)
-                       + jnp.log(cfg.pos_lr_final) * t)
+    log_lerp = jnp.exp(jnp.log(init) * (1 - t) + jnp.log(final) * t)
     # delay ramp (delay_steps=0 in reference defaults → ramp inactive)
     return log_lerp * scene_extent
 
 
-def group_lrs(cfg: OptimConfig, step: jax.Array,
-              scene_extent: float) -> dict[str, jax.Array]:
+def group_lrs(cfg: OptimConfig, step: jax.Array, scene_extent: float,
+              hypers: dict | None = None) -> dict[str, jax.Array]:
+    """Per-group lrs. ``hypers`` (traced scalars from
+    ``trainer.hypers_from_config``) override the static config values so
+    queued live-config changes apply without recompiling the step."""
+    h = hypers or {}
     one = jnp.float32(1.0)
+    feat = h.get("feature_lr", cfg.feature_lr)
     return {
-        "means": pos_lr_schedule(cfg, step, scene_extent),
-        "scales": one * cfg.scaling_lr,
-        "quats": one * cfg.rotation_lr,
-        "opacity": one * cfg.opacity_lr,
-        "sh0": one * cfg.feature_lr,
-        "shN": one * cfg.feature_lr / 20.0,
+        "means": pos_lr_schedule(cfg, step, scene_extent,
+                                 init=h.get("pos_lr_init"),
+                                 final=h.get("pos_lr_final")),
+        "scales": one * h.get("scaling_lr", cfg.scaling_lr),
+        "quats": one * h.get("rotation_lr", cfg.rotation_lr),
+        "opacity": one * h.get("opacity_lr", cfg.opacity_lr),
+        "sh0": one * feat,
+        "shN": one * feat / 20.0,
     }
 
 
@@ -69,9 +81,10 @@ def adam_update(
     state: AdamState,
     scene_extent: float,
     visible: jax.Array | None = None,   # (C,) bool — visibleAdam mask
+    hypers: dict | None = None,         # traced lr overrides (live config)
 ) -> tuple[GaussianParams, AdamState]:
     step = state.step + 1
-    lrs = group_lrs(cfg, step, scene_extent)
+    lrs = group_lrs(cfg, step, scene_extent, hypers)
     b1, b2, eps = cfg.b1, cfg.b2, cfg.eps
     bc1 = 1.0 - b1 ** step.astype(jnp.float32)
     bc2 = 1.0 - b2 ** step.astype(jnp.float32)

@@ -117,7 +117,8 @@ class TrainerSession:
                 max_height=self.cfg.max_image_height,
                 eval_holdout=self.cfg.eval_holdout,
                 max_images=self.cfg.max_image_count,
-                white_background=self.cfg.white_background)
+                white_background=self.cfg.white_background,
+                use_mask=self.cfg.use_mask)
             self._dataset = ds
             self._eval_dataset = eval_ds
             self._sfm_points = ds.points
@@ -183,9 +184,10 @@ class TrainerSession:
 
     def update_config(self, fn: Callable[[TrainConfig], TrainConfig]) -> None:
         """Queue a config mutation; applied on the training thread between
-        steps (the reference's mutex+queue contract). NOTE: schedule fields
-        apply immediately; fields baked into the compiled step require the
-        next (re)compile."""
+        steps (the reference's mutex+queue contract,
+        ``editor.cpp:1610-1618``). Learning rates and loss weights flow into
+        the already-compiled step as traced scalars (no recompile);
+        structural changes rebuild the step functions transparently."""
         self._config_queue.put(fn)
 
     # ---- the training thread (run_train_gaussian, editor.cpp:1597-1654) ----
@@ -202,7 +204,9 @@ class TrainerSession:
                 while not self._config_queue.empty():
                     try:
                         self.cfg = self._config_queue.get_nowait()(self.cfg)
-                        trainer.cfg = self.cfg
+                        # hyper changes (lrs/weights) reach the next step as
+                        # traced inputs; structural changes recompile
+                        trainer.apply_config(self.cfg)
                     except queue.Empty:
                         break
                 n = self.cfg.num_iters

@@ -19,8 +19,11 @@ MCMC — 3DGS-as-MCMC: dead splats teleport onto samples of live ones with
 
 from __future__ import annotations
 
+import math as _math
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import struct
 
 from divshot_tpu.core.config import DensifyConfig, DensifyStrategy
@@ -129,11 +132,13 @@ def adc_refine(
     key: jax.Array,
     step: jax.Array,
     scene_extent: float,
+    hypers: dict | None = None,
 ) -> tuple[GaussianParams, AdamState, DensifyState]:
     cap = params.capacity
     alive = params.alive
+    h = hypers or {}
     avg_grad = state.grad_accum / jnp.maximum(state.count, 1.0)
-    is_grad_high = (avg_grad > cfg.grow_grad2d) & alive
+    is_grad_high = (avg_grad > h.get("grow_grad2d", cfg.grow_grad2d)) & alive
 
     max_scale = jnp.max(jnp.exp(params.scales), axis=-1)
     is_small = max_scale <= cfg.densify_scale3d * scene_extent
@@ -223,17 +228,40 @@ def alpha_reset(cfg: DensifyConfig, params: GaussianParams,
 # MCMC
 
 
+_RELOC_N_MAX = 51  # matches gsplat's relocation n_max
+
+# closed form of the double binomial sum: the inner
+# sum_{i=k}^{N-1} C(i, k) telescopes (hockey-stick) to C(N, k+1), so
+# denom(a, N) = sum_{j=1}^{N} C(N, j) (-1)^{j-1} a^j / sqrt(j)
+_RELOC_BINOM = np.array(
+    [[_math.comb(n, j) for j in range(1, _RELOC_N_MAX + 1)]
+     for n in range(_RELOC_N_MAX + 1)], np.float32)
+_RELOC_SIGN = np.where(np.arange(_RELOC_N_MAX) % 2 == 0, 1.0,
+                       -1.0).astype(np.float32)
+_RELOC_ISQRT = (1.0 / np.sqrt(np.arange(1, _RELOC_N_MAX + 1))
+                ).astype(np.float32)
+
+
 def _relocation_rescale(opacity_logit: jax.Array, scales_log: jax.Array,
                         n_split: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """MCMC N-way split rule: alpha_new = 1-(1-alpha)^(1/N); scale shrunk by
-    the binomial-sum rule of Kheradmand et al. (approximated by the exact
-    opacity rule + 1/sqrt(N) scale shrink for N>1)."""
+    """Exact MCMC N-way split rule (Kheradmand et al., "3DGS as MCMC"):
+    alpha_new = 1-(1-alpha)^(1/N) and scale_new = scale · alpha/denom with
+    denom = Σ_{i=1..N} Σ_{k=0..i-1} C(i-1,k)(-1)^k alpha_new^{k+1}/√(k+1),
+    reduced to a single O(N) sum per splat (see _RELOC_BINOM comment)."""
     alpha = jax.nn.sigmoid(opacity_logit)
-    n = jnp.maximum(n_split, 1).astype(jnp.float32)
-    a_new = 1.0 - jnp.power(jnp.clip(1.0 - alpha, 1e-6, 1.0), 1.0 / n)
+    n = jnp.clip(n_split, 1, _RELOC_N_MAX)
+    nf = n.astype(jnp.float32)
+    a_new = 1.0 - jnp.power(jnp.clip(1.0 - alpha, 1e-6, 1.0), 1.0 / nf)
     a_new = jnp.clip(a_new, 1e-5, 1 - 1e-5)
     o_new = jnp.log(a_new) - jnp.log1p(-a_new)
-    s_new = scales_log - 0.5 * jnp.log(n)[..., None]
+
+    j = jnp.arange(1, _RELOC_N_MAX + 1, dtype=jnp.float32)      # (J,)
+    binom = jnp.asarray(_RELOC_BINOM)[n]                        # (C, J)
+    pow_a = jnp.exp(j[None, :] * jnp.log(a_new)[:, None])       # a^j
+    denom = jnp.sum(binom * jnp.asarray(_RELOC_SIGN) * pow_a
+                    * jnp.asarray(_RELOC_ISQRT), axis=1)
+    coeff = alpha / jnp.maximum(denom, 1e-12)                   # ==1 for N=1
+    s_new = scales_log + jnp.log(jnp.maximum(coeff, 1e-12))[:, None]
     return o_new, s_new
 
 
@@ -309,18 +337,22 @@ def mcmc_noise(
     key: jax.Array,
     step: jax.Array,
     scene_extent: float,
+    hypers: dict | None = None,
 ) -> GaussianParams:
     """Per-step covariance-shaped position noise (MCMC exploration term),
     gated to ~transparent splats: eps ~ N(0, cov), scaled by
     pos_lr · noise_lr · sigmoid(-100·(alpha - 0.005))."""
-    lr = pos_lr_schedule(opt_cfg, step, scene_extent)
+    h = hypers or {}
+    lr = pos_lr_schedule(opt_cfg, step, scene_extent,
+                         init=h.get("pos_lr_init"),
+                         final=h.get("pos_lr_final"))
     alpha = jax.nn.sigmoid(params.opacity)
     gate = jax.nn.sigmoid(-100.0 * (alpha - 0.005))
     eps = jax.random.normal(key, params.means.shape)
     R = quat_to_rotmat(params.quats)
     noise = jnp.einsum("nij,nj->ni", R, jnp.exp(params.scales) * eps,
                        precision="highest")
-    noise = noise * (gate * lr * cfg.noise_lr)[:, None]
+    noise = noise * (gate * lr * h.get("noise_lr", cfg.noise_lr))[:, None]
     noise = jnp.where(params.alive[:, None], noise, 0.0)
     return params.replace(means=params.means + noise)
 
@@ -333,7 +365,9 @@ def refine(
     key: jax.Array,
     step: jax.Array,
     scene_extent: float,
+    hypers: dict | None = None,
 ) -> tuple[GaussianParams, AdamState, DensifyState]:
     if cfg.strategy == DensifyStrategy.MCMC:
         return mcmc_refine(cfg, params, opt, state, key, step, scene_extent)
-    return adc_refine(cfg, params, opt, state, key, step, scene_extent)
+    return adc_refine(cfg, params, opt, state, key, step, scene_extent,
+                      hypers)

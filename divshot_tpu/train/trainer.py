@@ -11,6 +11,7 @@ the step compiles once; densification edits fixed-capacity buffers in place.
 from __future__ import annotations
 
 import time
+import warnings
 from dataclasses import dataclass, field
 from typing import Any, Callable
 
@@ -67,7 +68,7 @@ class Dataset:
     @classmethod
     def from_views(cls, cams: list[Camera], images: np.ndarray,
                    points=None, colors=None, stream: bool = False,
-                   **kw) -> "Dataset":
+                   masks=None, **kw) -> "Dataset":
         camb = batch_cameras(cams)
         centers = np.stack([np.asarray(c.campos) for c in cams])
         center = centers.mean(0)
@@ -75,9 +76,11 @@ class Dataset:
         if images.dtype != np.uint8:
             images = (np.clip(images, 0, 1) * 255).astype(np.uint8)
         images = np.asarray(images) if stream else jnp.asarray(images)
+        if masks is not None:
+            masks = np.asarray(masks) if stream else jnp.asarray(masks)
         return cls(cameras=camb, images=images,
                    scene_extent=max(extent, 1e-3), points=points,
-                   colors=colors, **kw)
+                   colors=colors, masks=masks, **kw)
 
 
 def sh_band_mask(num_coeffs: int, degree: jax.Array) -> jax.Array:
@@ -85,6 +88,43 @@ def sh_band_mask(num_coeffs: int, degree: jax.Array) -> jax.Array:
     band = jnp.asarray([1, 1, 1, 2, 2, 2, 2, 2, 3, 3, 3, 3, 3, 3, 3],
                        jnp.int32)[:num_coeffs]
     return (band[None, :, None] <= degree).astype(jnp.float32)
+
+
+def hypers_from_config(cfg: TrainConfig) -> dict[str, jax.Array]:
+    """Runtime-adjustable scalars passed as TRACED step inputs, so queued
+    ``TrainerSession.update_config`` changes (lrs, loss weights — the
+    reference's live-training contract, ``editor.cpp:1610-1618``) apply on
+    the very next step without recompiling."""
+    f32 = jnp.float32
+    return {
+        "pos_lr_init": f32(cfg.optim.pos_lr_init),
+        "pos_lr_final": f32(cfg.optim.pos_lr_final),
+        "scaling_lr": f32(cfg.optim.scaling_lr),
+        "rotation_lr": f32(cfg.optim.rotation_lr),
+        "opacity_lr": f32(cfg.optim.opacity_lr),
+        "feature_lr": f32(cfg.optim.feature_lr),
+        "ssim_weight": f32(cfg.ssim_weight),
+        "normal_loss_weight": f32(cfg.normal_loss_weight),
+        "dist_loss_weight": f32(cfg.dist_loss_weight),
+        "noise_lr": f32(cfg.densify.noise_lr),
+        "grow_grad2d": f32(cfg.densify.grow_grad2d),
+    }
+
+
+def _structure_key(cfg: TrainConfig) -> TrainConfig:
+    """The part of the config baked into the compiled step: everything
+    except the live hypers (whose *values* are traced inputs). Loss weights
+    that structurally gate extra compute keep only their >0 bit."""
+    import dataclasses as _dc
+    o = _dc.replace(cfg.optim, pos_lr_init=0.0, pos_lr_final=0.0,
+                    scaling_lr=0.0, rotation_lr=0.0, opacity_lr=0.0,
+                    feature_lr=0.0)
+    d = _dc.replace(cfg.densify, noise_lr=0.0, grow_grad2d=0.0)
+    return _dc.replace(
+        cfg, optim=o, densify=d,
+        ssim_weight=float(cfg.ssim_weight > 0),
+        normal_loss_weight=0.0,
+        dist_loss_weight=float(cfg.dist_loss_weight > 0))
 
 
 def make_train_step(cfg: TrainConfig, dataset: Dataset,
@@ -100,11 +140,19 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
     ``res_scale`` > 1 trains at 1/res_scale resolution (gt average-pooled
     on device, camera intrinsics scaled) — the progressive-resolution
     schedule compiles one step per scale (reference resolutionSchedule)."""
+    rcfg = cfg.raster
     rk = dict(
-        backend="tiles",
-        tile_size=cfg.raster.tile_size,
-        antialiased=cfg.raster.mip_antialiased,
-        eps2d=cfg.raster.eps2d,
+        # Pallas kernels are the production path on TPU; the XLA tile
+        # rasterizer stays the oracle (and the CPU/test default, where
+        # Pallas would run in slow interpret mode)
+        backend="pallas" if jax.default_backend() == "tpu" else "tiles",
+        tile_size=rcfg.tile_size,
+        antialiased=rcfg.mip_antialiased,
+        eps2d=rcfg.eps2d,
+        radius_clip=rcfg.radius_clip,
+        t_eps=rcfg.transmittance_min,
+        max_tiles_per_gaussian=rcfg.max_instances_per_gaussian,
+        instance_capacity_mult=rcfg.instance_capacity_mult,
         cull_sh_radius=3.0 if cfg.cull_sh else 0.0,
     )
     if render_kwargs:
@@ -127,9 +175,12 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
 
     def train_step(state: TrainState, view_idx: jax.Array,
                    gt_stream: jax.Array | None = None,
-                   mask_stream: jax.Array | None = None):
+                   mask_stream: jax.Array | None = None,
+                   hypers: dict[str, jax.Array] | None = None):
         """``streamed`` mode: gt (and mask) arrive per step from the host
-        pipeline (gsio.loader) instead of living in HBM."""
+        pipeline (gsio.loader) instead of living in HBM. ``hypers``: traced
+        live-config scalars (see hypers_from_config)."""
+        hyp = hypers if hypers is not None else hypers_from_config(cfg)
         batched = view_idx.ndim == 1
         cameras = jax.tree.map(lambda x: x[view_idx], dataset.cameras)
         if res_scale != 1:
@@ -195,7 +246,8 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
             if mask is not None:
                 img = img * mask[..., None]
                 gt = gt * mask[..., None]
-            loss = photometric_loss(img, gt, cfg.ssim_weight)
+            loss = photometric_loss(img, gt, hyp["ssim_weight"],
+                                    use_ssim=cfg.ssim_weight > 0)
             if need_geom:
                 from divshot_tpu.train import geometry as G
                 if single_pass:
@@ -221,7 +273,7 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                     nloss = G.normal_consistency_loss(
                         n_render, depth, alpha_g, camera)
                     w = jnp.where(step >= cfg.normal_start_iter,
-                                  cfg.normal_loss_weight, 0.0)
+                                  hyp["normal_loss_weight"], 0.0)
                     loss = loss + w * nloss
                 if cfg.dist_loss_weight > 0:
                     # depth distortion (2DGS): sum_ij w_i w_j (z_i - z_j)^2
@@ -230,9 +282,13 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                     dist = (planes[..., 1] * alpha_g - planes[..., 0] ** 2)
                     dloss = jnp.mean(jnp.maximum(dist, 0.0))
                     wd = jnp.where(step >= cfg.dist_start_iter,
-                                   cfg.dist_loss_weight, 0.0)
+                                   hyp["dist_loss_weight"], 0.0)
                     loss = loss + wd * dloss
-            return loss, (out.image, out.proj.radii)
+            ni = out.num_instances if out.num_instances is not None \
+                else jnp.int32(0)
+            mtc = out.max_tile_count if out.max_tile_count is not None \
+                else jnp.int32(0)
+            return loss, (out.image, out.proj.radii, ni, mtc)
 
         bg_p = state.bg["params"] if cfg.enable_bg \
             else jnp.zeros((1, 1, 3), jnp.float32)
@@ -253,13 +309,15 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         fields = {f: getattr(state.params, f) for f in PARAM_FIELDS}
         zeros2 = jnp.zeros((cap, 2), jnp.float32)
         zeros1 = jnp.zeros((cap,), jnp.float32)
-        (loss, (img, radii)), grads = jax.value_and_grad(
+        (loss, (img, radii, n_inst, max_tc)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
                 fields, bg_p, zeros2, zeros2, zeros1)
         g_fields, g_bg, g_abs, g_m2d, g_npix = grads
         if batched:
             img = img[0]
             radii = jnp.max(radii, axis=0)  # visible in any view of the batch
+            n_inst = jnp.max(n_inst)
+            max_tc = jnp.max(max_tc)
             gts = gts[0]
         gt = gts
 
@@ -272,7 +330,7 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
 
         visible = radii > 0
         params, opt = adam_update(cfg.optim, state.params, g_fields,
-                                  state.opt, extent, visible)
+                                  state.opt, extent, visible, hypers=hyp)
         params = params.replace(
             opacity=jnp.where(params.alive, params.opacity, -15.0))
 
@@ -281,7 +339,8 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
 
         params, opt, dstate = jax.lax.cond(
             do_refine,
-            lambda a: S.refine(dcfg, a[0], a[1], a[2], k_refine, step, extent),
+            lambda a: S.refine(dcfg, a[0], a[1], a[2], k_refine, step, extent,
+                               hypers=hyp),
             lambda a: a,
             (params, opt, dstate))
 
@@ -293,7 +352,8 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                 lambda a: a,
                 (params, opt))
         else:
-            params = S.mcmc_noise(dcfg, cfg.optim, params, k_noise, step, extent)
+            params = S.mcmc_noise(dcfg, cfg.optim, params, k_noise, step,
+                                  extent, hypers=hyp)
 
         new_bg = state.bg
         if cfg.enable_bg:
@@ -308,6 +368,10 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
             "loss": loss,
             "psnr": psnr(img, gt),
             "num_alive": jnp.sum(params.alive.astype(jnp.int32)),
+            # capacity diagnostics: demanded (tile|depth) instances vs the
+            # static buffers — overflow means binning silently dropped work
+            "num_instances": n_inst,
+            "max_tile_count": max_tc,
         }
         return TrainState(params=params, opt=opt, dstate=dstate, key=key,
                           bg=new_bg), metrics
@@ -340,18 +404,9 @@ class Trainer:
             bg=bg_state,
         )
         self._streamed = dataset.streamed
-        self._step_full = jax.jit(
-            make_train_step(cfg, dataset, render_kwargs,
-                            streamed=self._streamed), donate_argnums=(0,))
-        # progressive resolution (resolutionSchedule): one compiled step per
-        # scale, switched on the host by iteration — x4 then x2 then full
-        self._step_scaled: dict[int, Any] = {}
-        if cfg.progressive_train and cfg.resolution_schedule > 0:
-            for s in (4, 2):
-                self._step_scaled[s] = jax.jit(
-                    make_train_step(cfg, dataset, render_kwargs, res_scale=s,
-                                    streamed=self._streamed),
-                    donate_argnums=(0,))
+        self._render_kwargs = render_kwargs
+        self._hypers = hypers_from_config(cfg)
+        self._build_steps()
         self._loader = None
         if self._streamed:
             from divshot_tpu.gsio.loader import HostImageStore, Prefetcher
@@ -366,20 +421,67 @@ class Trainer:
         self.last_metrics: dict | None = None
         self._host_step = 0   # host-side mirror of opt.step (avoids syncs)
 
+    def _build_steps(self) -> None:
+        """(Re)compile the jitted step functions from the current config."""
+        rk = self._render_kwargs or {}
+        rcfg = self.cfg.raster
+        cap = self.state.params.capacity
+        mult = rk.get("instance_capacity_mult", rcfg.instance_capacity_mult)
+        self._instance_capacity = rk.get("instance_capacity") \
+            or max(1 << 16, int(mult * cap))
+        backend = rk.get("backend",
+                         "pallas" if jax.default_backend() == "tpu"
+                         else "tiles")
+        # per-tile truncation only exists in the ids_mat (tiles) path
+        self._tile_capacity = rk.get("tile_capacity", 1024) \
+            if backend == "tiles" else None
+        self._warned_overflow = False
+        self._step_full = jax.jit(
+            make_train_step(self.cfg, self.dataset, self._render_kwargs,
+                            streamed=self._streamed), donate_argnums=(0,))
+        # progressive resolution (resolutionSchedule): one compiled step per
+        # scale, switched on the host by iteration — x4 then x2 then full
+        self._step_scaled: dict[int, Any] = {}
+        if self.cfg.progressive_train and self.cfg.resolution_schedule > 0:
+            for s in (4, 2):
+                self._step_scaled[s] = jax.jit(
+                    make_train_step(self.cfg, self.dataset,
+                                    self._render_kwargs, res_scale=s,
+                                    streamed=self._streamed),
+                    donate_argnums=(0,))
+
+    def apply_config(self, new_cfg: TrainConfig) -> None:
+        """Apply a (possibly live-updated) config. Hyper-only changes (lrs,
+        loss weights) reach the compiled step on the next call as traced
+        inputs; structural changes rebuild the step functions."""
+        rebuild = _structure_key(new_cfg) != _structure_key(self.cfg)
+        self.cfg = new_cfg
+        self._hypers = hypers_from_config(new_cfg)
+        if rebuild:
+            self._build_steps()
+
     def _step_fn(self, state, view, *stream_args):
         it = self._host_step
         self._host_step += 1
         if self._step_scaled:
             sched = self.cfg.resolution_schedule
             if it < sched:
-                return self._step_scaled[4](state, view, *stream_args)
+                return self._step_scaled[4](state, view, *stream_args,
+                                            hypers=self._hypers)
             if it < 2 * sched:
-                return self._step_scaled[2](state, view, *stream_args)
-        return self._step_full(state, view, *stream_args)
+                return self._step_scaled[2](state, view, *stream_args,
+                                            hypers=self._hypers)
+        return self._step_full(state, view, *stream_args,
+                               hypers=self._hypers)
 
     def step_once(self) -> dict:
-        """Run one training step on a random view (TrainerSession hook)."""
+        """Run one training step on random view(s) (TrainerSession hook);
+        samples ``cfg.batch_size`` views per step when > 1."""
+        bsz = max(1, self.cfg.batch_size)
         if self._streamed:
+            if bsz > 1:
+                raise NotImplementedError(
+                    "batch_size > 1 requires in-HBM images (stream=False)")
             # keep 2 host->device transfers in flight ahead of compute
             while len(self._pending) < 2:
                 v = int(self._np_rng.integers(self.dataset.num_views))
@@ -390,8 +492,12 @@ class Trainer:
             self.state, metrics = self._step_fn(
                 self.state, view, gt_dev, mask_dev)
         else:
-            view = int(self._np_rng.integers(self.dataset.num_views))
-            self.state, metrics = self._step_fn(self.state, view)
+            if bsz > 1:
+                view = jnp.asarray(self._np_rng.integers(
+                    self.dataset.num_views, size=bsz), jnp.int32)
+            else:
+                view = int(self._np_rng.integers(self.dataset.num_views))
+            self.state, metrics = self._step_fn(self.state, view, None, None)
         self.last_metrics = metrics
         return metrics
 
@@ -406,9 +512,31 @@ class Trainer:
                 m = {k: float(v) for k, v in metrics.items()}
                 m["iters_per_s"] = (i + 1) / (time.time() - t0)
                 self.metrics_history.append(m)
+                self.check_overflow(m)
                 if self.cfg.verbose:
                     print(f"[{i+1}/{n}] loss={m['loss']:.4f} "
                           f"psnr={m['psnr']:.2f} alive={int(m['num_alive'])} "
                           f"({m['iters_per_s']:.1f} it/s)")
             if callback is not None:
                 callback(i, self.state, metrics)
+
+    def check_overflow(self, metrics: dict) -> None:
+        """Surface silent capacity overflow (VERDICT weak #1): binning drops
+        instances beyond the static buffers with no other signal."""
+        ni = int(metrics.get("num_instances", 0))
+        if ni > self._instance_capacity and not self._warned_overflow:
+            self._warned_overflow = True
+            warnings.warn(
+                f"tile-instance demand {ni} exceeds instance_capacity "
+                f"{self._instance_capacity}; excess instances are DROPPED "
+                f"(image corruption). Raise raster.instance_capacity_mult.",
+                RuntimeWarning, stacklevel=2)
+        mtc = int(metrics.get("max_tile_count", 0))
+        if self._tile_capacity is not None and mtc > self._tile_capacity \
+                and not self._warned_overflow:
+            self._warned_overflow = True
+            warnings.warn(
+                f"densest tile holds {mtc} instances > tile_capacity "
+                f"{self._tile_capacity}; the tile's farthest splats are "
+                f"DROPPED. Raise tile_capacity.",
+                RuntimeWarning, stacklevel=2)
