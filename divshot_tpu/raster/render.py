@@ -83,6 +83,20 @@ def render(
     if sh_degree is None:
         sh_degree = params.sh_degree
 
+    if backend == "surfel":
+        # exact 2DGS ray-splat intersection (modelType=1, editor.cpp:1847)
+        from divshot_tpu.raster import surfel as _sf
+        out, _npix = _sf.render_surfels(
+            params, camera, sh_degree=sh_degree, background=background,
+            tile_size=tile_size, tile_capacity=tile_capacity,
+            instance_capacity=instance_capacity,
+            instance_capacity_mult=instance_capacity_mult,
+            max_tiles_per_gaussian=max_tiles_per_gaussian, chunk=chunk,
+            t_eps=t_eps, absgrad_sink=absgrad_sink,
+            means2d_sink=means2d_sink, npix_sink=npix_sink,
+            override_colors=override_colors, with_geometry=False)
+        return out
+
     proj = project_gaussians(
         params.means, params.scales, params.quats, camera,
         eps2d=eps2d, antialiased=antialiased, fov_clamp=fov_clamp,

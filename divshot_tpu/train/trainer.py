@@ -145,7 +145,8 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         # Pallas kernels are the production path on TPU; the XLA tile
         # rasterizer stays the oracle (and the CPU/test default, where
         # Pallas would run in slow interpret mode)
-        backend="pallas" if jax.default_backend() == "tpu" else "tiles",
+        backend="surfel" if cfg.model_type == 1
+        else ("pallas" if jax.default_backend() == "tpu" else "tiles"),
         tile_size=rcfg.tile_size,
         antialiased=rcfg.mip_antialiased,
         eps2d=rcfg.eps2d,
@@ -207,18 +208,23 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         shmask = sh_band_mask(state.params.shN.shape[1], deg)
         cap = state.params.capacity
 
+        surfel = (cfg.model_type == 1
+                  and rk.get("backend") not in ("tiles", "dense", "pallas"))
+
         def one_view(fields, bg_p, abs_sink, m2d_sink, npix_sink,
                      camera, gt, mask):
             p = state.params.replace(**fields)
             p = p.replace(shN=p.shN * shmask)
-            if cfg.model_type == 1:   # 2DGS: surfel splats
+            if cfg.model_type == 1 and not surfel:
+                # legacy approximation: flattened 3D gaussians through the
+                # shared EWA kernel (exact path: raster/surfel.py)
                 from divshot_tpu.train import geometry as G
                 p = G.flatten_to_surfels(p)
             camera = camera.replace(width=W, height=H)
             need_geom = (cfg.normal_consistency_loss or cfg.model_type == 1
                          or cfg.dist_loss_weight > 0)
             aux = None
-            if need_geom:
+            if need_geom and not surfel:
                 # camera-space depth + normals; camera-facing => nz < 0, so
                 # nz is recoverable from (nx, ny); z and z^2 feed the depth
                 # distortion moments. One extra set of composited planes.
@@ -232,12 +238,30 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                                    precision="highest")
                 aux = jnp.concatenate(
                     [z[:, None], (z * z)[:, None], n_cam[:, :2]], axis=1)
-            single_pass = need_geom and rk.get("backend") == "pallas"
-            out = render(p, camera,
-                         background=jnp.zeros((3,)) if cfg.enable_bg else bg,
-                         absgrad_sink=abs_sink,
-                         extra_colors=aux if single_pass else None,
-                         means2d_sink=m2d_sink, npix_sink=npix_sink, **rk)
+            single_pass = need_geom and (
+                rk.get("backend") == "pallas" or surfel)
+            if surfel:
+                # exact 2DGS: ray-splat intersection kernel; per-pixel
+                # intersection depth feeds the geometry losses
+                from divshot_tpu.raster.surfel import render_surfels
+                srk = {k: v for k, v in rk.items()
+                       if k in ("tile_size", "tile_capacity",
+                                "instance_capacity",
+                                "instance_capacity_mult",
+                                "max_tiles_per_gaussian", "chunk", "t_eps")}
+                out, npix_fwd = render_surfels(
+                    p, camera,
+                    background=jnp.zeros((3,)) if cfg.enable_bg else bg,
+                    absgrad_sink=abs_sink, means2d_sink=m2d_sink,
+                    with_geometry=need_geom, **srk)
+            else:
+                out = render(p, camera,
+                             background=jnp.zeros((3,))
+                             if cfg.enable_bg else bg,
+                             absgrad_sink=abs_sink,
+                             extra_colors=aux if single_pass else None,
+                             means2d_sink=m2d_sink, npix_sink=npix_sink,
+                             **rk)
             img = out.image
             if cfg.enable_bg:
                 from divshot_tpu.models.background import render_background
@@ -248,6 +272,11 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                 gt = gt * mask[..., None]
             loss = photometric_loss(img, gt, hyp["ssim_weight"],
                                     use_ssim=cfg.ssim_weight > 0)
+            if surfel:
+                # zero-valued term whose npix_sink cotangent is the forward
+                # per-splat applied-pixel count (the sink-gradient contract
+                # the pallas backward provides natively)
+                loss = loss + jnp.sum(npix_sink * npix_fwd)
             if need_geom:
                 from divshot_tpu.train import geometry as G
                 if single_pass:
