@@ -76,9 +76,10 @@ def main(argv=None):
 
     model_path = cfg.model_path or "output"
     os.makedirs(model_path, exist_ok=True)
-    trainer = Trainer(cfg, ds, params,
-                      render_kwargs={"backend": "pallas",
-                                     "instance_capacity": 1 << 20})
+    # instance buffers sized from RasterConfig (instance_capacity_mult x
+    # cap_max) by Trainer._build_steps — a fixed literal here silently
+    # overflows at reference-scale cap_max (round-2 weak #6)
+    trainer = Trainer(cfg, ds, params, render_kwargs={"backend": "pallas"})
 
     # resume (reference: create_splat(config, load_itr))
     load_itr = getattr(cfg, "load_itr", -1)
@@ -98,7 +99,7 @@ def main(argv=None):
     from divshot_tpu.train.evaluate import evaluate
     bg = jnp.ones((3,), jnp.float32) if cfg.white_background else None
     eval_rk = {"backend": trainer._render_kwargs.get("backend", "pallas"),
-               "instance_capacity": 1 << 20,
+               "instance_capacity": trainer._instance_capacity,
                "antialiased": cfg.raster.mip_antialiased}
     eval_curve: list[dict] = []
 

@@ -27,13 +27,21 @@ _DEGREE_FOR_DIM = {v: k for k, v in _DIM_FOR_DEGREE.items()}
 SQRT1_2 = np.sqrt(0.5)
 
 
+def _cpp_round(x):
+    """std::round semantics: half away from zero (np.round is half-to-even,
+    which diverges from the reference encoder at exact .5 values)."""
+    return np.trunc(x + np.copysign(0.5, x))
+
+
 def _to_u8(x):
-    return np.clip(np.round(x), 0, 255).astype(np.uint8)
+    return np.clip(_cpp_round(x), 0, 255).astype(np.uint8)
 
 
 def _quantize_sh(x: np.ndarray, bucket: int) -> np.ndarray:
-    q = np.round(x * 128.0) + 128.0
-    q = (q.astype(np.int64) + bucket // 2) // bucket * bucket
+    """load-spz.cc:77-81 — round, bucket to nearest center with C++
+    truncating integer division, clamp."""
+    q = _cpp_round(x * 128.0) + 128.0
+    q = np.trunc((q + bucket // 2) / bucket) * bucket
     return np.clip(q, 0, 255).astype(np.uint8)
 
 
@@ -87,7 +95,7 @@ def save_spz(path: str, params: GaussianParams, *,
                          fractional_bits, FLAG_ANTIALIASED if antialiased
                          else 0, 0)
     scale = float(1 << fractional_bits)
-    fixed = np.round(d["means"].astype(np.float64) * scale).astype(np.int32)
+    fixed = _cpp_round(d["means"].astype(np.float64) * scale).astype(np.int32)
     pos_bytes = np.zeros((n, 3, 3), np.uint8)
     for b in range(3):
         pos_bytes[:, :, b] = (fixed >> (8 * b)).astype(np.uint32) & 0xFF

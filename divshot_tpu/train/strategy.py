@@ -371,3 +371,56 @@ def refine(
         return mcmc_refine(cfg, params, opt, state, key, step, scene_extent)
     return adc_refine(cfg, params, opt, state, key, step, scene_extent,
                       hypers)
+
+
+# ---------------------------------------------------------------------------
+# Periodic hard prune (pruneStrategy / pruneInterval)
+
+
+LIGHT_PRUNE_RATIO = 0.1   # fraction of alive splats culled per LIGHT prune
+LIGHT_VOLUME_BETA = 0.1   # LightGaussian gamma(Sigma) exponent
+
+
+def periodic_prune(
+    cfg: DensifyConfig,
+    params: GaussianParams,
+    opt: AdamState,
+    state: DensifyState,
+    scene_extent: float,
+) -> tuple[GaussianParams, AdamState]:
+    """The reference's ``pruneStrategy {0:reduce, 1:light}`` applied every
+    ``pruneInterval`` steps (``editor.cpp:2008-2016``; LightGaussian credit
+    ``README.md:108-131``).
+
+    REDUCE: re-applies the transparency / oversize prune rules outside the
+    ADC refine window (MCMC runs never otherwise drop splats, so long runs
+    accrete near-dead ones).
+
+    LIGHT: LightGaussian global-significance ranking — score each splat by
+    hit count x opacity x volume^beta (GS_j = sum_rays 1(hit) sigma_j
+    gamma(Sigma_j), gamma = normalized volume to the 0.1 power) and cull
+    the lowest ``LIGHT_PRUNE_RATIO`` of the alive set."""
+    alive = params.alive
+    alpha = jax.nn.sigmoid(params.opacity)
+
+    if cfg.prune_strategy == 1:  # PruneStrategy.LIGHT
+        vol = jnp.exp(jnp.sum(params.scales, axis=-1))       # prod of scales
+        v90 = jnp.quantile(jnp.where(alive, vol, 0.0), 0.9)
+        gamma = jnp.power(jnp.clip(vol / jnp.maximum(v90, 1e-12), 1e-6, 1.0),
+                          LIGHT_VOLUME_BETA)
+        hits = jnp.maximum(state.count, 1e-3)
+        score = jnp.where(alive, hits * alpha * gamma, jnp.inf)
+        n_alive = jnp.sum(alive.astype(jnp.int32))
+        k = (n_alive.astype(jnp.float32) * LIGHT_PRUNE_RATIO).astype(jnp.int32)
+        order = jnp.argsort(score)                            # lowest first
+        rank = jnp.zeros_like(order).at[order].set(
+            jnp.arange(params.capacity, dtype=jnp.int32))
+        dead = alive & (rank < k)
+    else:                        # PruneStrategy.REDUCE
+        max_scale = jnp.max(jnp.exp(params.scales), axis=-1)
+        dead = alive & ((alpha < cfg.prune_opacity)
+                        | (max_scale > cfg.prune_scale3d * scene_extent))
+
+    params2 = params.replace(alive=alive & ~dead)
+    opt2 = _zero_moments_at(opt, dead)
+    return params2, opt2

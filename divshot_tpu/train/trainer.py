@@ -363,6 +363,18 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         params = params.replace(
             opacity=jnp.where(params.alive, params.opacity, -15.0))
 
+        # periodic hard prune (pruneStrategy reduce|light at pruneInterval —
+        # editor.cpp:2008-2016); default interval 700K => off for std runs.
+        # Runs BEFORE refine so LIGHT scores see the accumulated visibility
+        # counts (refine resets dstate).
+        if dcfg.prune_interval > 0:
+            do_prune = (step > 0) & (step % dcfg.prune_interval == 0)
+            params, opt = jax.lax.cond(
+                do_prune,
+                lambda a: S.periodic_prune(dcfg, a[0], a[1], dstate, extent),
+                lambda a: a,
+                (params, opt))
+
         in_window = (step >= dcfg.warmup_length) & (step < dcfg.refine_stop_iter)
         do_refine = in_window & (step % dcfg.refine_every == 0) & (step > 0)
 
@@ -464,7 +476,8 @@ class Trainer:
         # per-tile truncation only exists in the ids_mat (tiles) path
         self._tile_capacity = rk.get("tile_capacity", 1024) \
             if backend == "tiles" else None
-        self._warned_overflow = False
+        self._warned_instance_overflow = False
+        self._warned_tile_overflow = False
         self._step_full = jax.jit(
             make_train_step(self.cfg, self.dataset, self._render_kwargs,
                             streamed=self._streamed), donate_argnums=(0,))
@@ -553,8 +566,9 @@ class Trainer:
         """Surface silent capacity overflow (VERDICT weak #1): binning drops
         instances beyond the static buffers with no other signal."""
         ni = int(metrics.get("num_instances", 0))
-        if ni > self._instance_capacity and not self._warned_overflow:
-            self._warned_overflow = True
+        if ni > self._instance_capacity \
+                and not self._warned_instance_overflow:
+            self._warned_instance_overflow = True
             warnings.warn(
                 f"tile-instance demand {ni} exceeds instance_capacity "
                 f"{self._instance_capacity}; excess instances are DROPPED "
@@ -562,8 +576,8 @@ class Trainer:
                 RuntimeWarning, stacklevel=2)
         mtc = int(metrics.get("max_tile_count", 0))
         if self._tile_capacity is not None and mtc > self._tile_capacity \
-                and not self._warned_overflow:
-            self._warned_overflow = True
+                and not self._warned_tile_overflow:
+            self._warned_tile_overflow = True
             warnings.warn(
                 f"densest tile holds {mtc} instances > tile_capacity "
                 f"{self._tile_capacity}; the tile's farthest splats are "

@@ -178,13 +178,76 @@ def dense_surfel_loss(params, cam, means, scales, quats):
     return jnp.sum(img ** 2)
 
 
+def _alpha_field(params, cam):
+    """f64 per-(pixel, splat) alpha + running transmittance of the scene —
+    the oracle's own forward, used to certify the scene is free of
+    threshold-straddling pixels (see _clean_surfel_scene)."""
+    pr = jax.tree.map(lambda x: np.asarray(x, np.float64), project_surfels(
+        params.means, params.scales, params.quats, cam))
+    order = np.argsort(pr["depths"])
+    T = pr["Tmat"][order]
+    zpl = pr["zplane"][order]
+    c2d = pr["center2d"][order]
+    radii = pr["radii"][order]
+    op = np.asarray(params.effective_opacity(), np.float64)[order]
+    H, W = cam.height, cam.width
+    ys, xs = np.meshgrid(np.arange(H) + 0.5, np.arange(W) + 0.5,
+                         indexing="ij")
+    x = xs.reshape(-1)[:, None]
+    y = ys.reshape(-1)[:, None]
+    a00 = T[None, :, 0, 0] - x * T[None, :, 2, 0]
+    a01 = T[None, :, 0, 1] - x * T[None, :, 2, 1]
+    a10 = T[None, :, 1, 0] - y * T[None, :, 2, 0]
+    a11 = T[None, :, 1, 1] - y * T[None, :, 2, 1]
+    b0 = x * T[None, :, 2, 2] - T[None, :, 0, 2]
+    b1 = y * T[None, :, 2, 2] - T[None, :, 1, 2]
+    det = a00 * a11 - a01 * a10
+    ok = np.abs(det) > 1e-12
+    det_s = np.where(ok, det, 1.0)
+    u = (b0 * a11 - b1 * a01) / det_s
+    v = (a00 * b1 - a10 * b0) / det_s
+    rho = np.minimum(u * u + v * v,
+                     FILTER_INV_SQ * ((x - c2d[None, :, 0]) ** 2
+                                      + (y - c2d[None, :, 1]) ** 2))
+    z_px = zpl[None, :, 0] * u + zpl[None, :, 1] * v + zpl[None, :, 2]
+    alpha = op[None, :] * np.exp(-0.5 * rho)
+    valid = ok & (alpha >= ALPHA_MIN) & (z_px > 0.01) & (radii[None, :] > 0)
+    a_v = np.where(valid, np.minimum(alpha, ALPHA_MAX), 0.0)
+    q = np.cumprod(1.0 - a_v, axis=1)
+    return alpha, q, radii
+
+
+def _clean_surfel_scene(n=12, size=32, alpha_band=5e-6, q_band=1e-8):
+    """First seed whose scene has NO pixel within ``alpha_band`` of the
+    1/255 alpha cutoff (nor ``q_band`` of the early-stop T_EPS).
+
+    The rasterizer discards alpha < 1/255 (reference ``gsplat_ps.hlsl``
+    semantics). Two mathematically identical f32 pipelines (tiled
+    cross-product kernel vs dense linear-solve oracle) round alpha
+    differently by ~1e-7; a pixel whose TRUE alpha lies within that band of
+    the cutoff is valid in one and discarded in the other, flipping that
+    splat's whole gradient contribution at the pixel. That is a property of
+    every hard-cutoff rasterizer (the reference's CUDA trainer included),
+    not a kernel defect — so gradient parity is asserted on scenes certified
+    (in f64) to keep every pixel away from the discontinuity."""
+    for seed in range(32):
+        params, cam = make_surfel_scene(seed=seed, n=n, size=size)
+        params = params.replace(opacity=jnp.full_like(params.opacity, -1.2))
+        alpha, q, _ = _alpha_field(params, cam)
+        if (np.abs(alpha - ALPHA_MIN) < alpha_band).any():
+            continue
+        if (np.abs(q - T_EPS) < q_band).any():
+            continue
+        return params, cam, seed
+    raise AssertionError("no threshold-clean scene in 32 seeds")
+
+
 def test_surfel_gradients_vs_dense_oracle():
     """Autodiff grads through the tiled cross-product kernel == autodiff
-    grads through the dense linear-solve oracle (means, scales, quats)."""
-    params, cam = make_surfel_scene(n=12, size=32)
-    # low opacities keep every splat's 1/255 iso-contour inside its 3-sigma
-    # binning rect, so tiled and dense supports coincide exactly
-    params = params.replace(opacity=jnp.full_like(params.opacity, -1.2))
+    grads through the dense linear-solve oracle (means, scales, quats), on
+    a scene certified free of cutoff-straddling pixels (see
+    _clean_surfel_scene — round-2 red test root cause)."""
+    params, cam, seed = _clean_surfel_scene()
     bg = jnp.zeros((3,), jnp.float32)
 
     def loss_tiled(means, scales, quats):
@@ -204,7 +267,47 @@ def test_surfel_gradients_vs_dense_oracle():
         assert np.all(np.isfinite(a)), name
         scale = np.maximum(np.abs(b).max(), 1e-3)
         assert np.max(np.abs(a - b)) < 1e-3 * scale + 1e-4, \
-            (name, np.max(np.abs(a - b)), scale)
+            (name, seed, np.max(np.abs(a - b)), scale)
+
+
+def test_surfel_numeric_gradcheck():
+    """check_grads-style finite differences of the tiled kernel's OWN
+    forward vs its autodiff gradient (means, scales, quats): central
+    differences on a threshold-clean scene, loss reduced in f64 on host so
+    FD noise stays well under the tolerance."""
+    params, cam, _ = _clean_surfel_scene()
+    bg = jnp.zeros((3,), jnp.float32)
+
+    def loss(means, scales, quats):
+        p = params.replace(means=means, scales=scales, quats=quats)
+        out, _ = render_surfels(p, cam, background=bg, with_geometry=False)
+        return jnp.sum(out.image ** 2)
+
+    def loss64(means, scales, quats):
+        p = params.replace(means=jnp.asarray(means, jnp.float32),
+                           scales=jnp.asarray(scales, jnp.float32),
+                           quats=jnp.asarray(quats, jnp.float32))
+        out, _ = render_surfels(p, cam, background=bg, with_geometry=False)
+        return float(np.sum(np.asarray(out.image, np.float64) ** 2))
+
+    args = (params.means, params.scales, params.quats)
+    grads = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(*args)
+    rng = np.random.default_rng(7)
+    eps = 3e-4
+    base = [np.asarray(a, np.float64) for a in args]
+    for k, name in enumerate(("means", "scales", "quats")):
+        g = np.asarray(grads[k], np.float64)
+        for _ in range(2):
+            d = rng.standard_normal(base[k].shape)
+            d /= np.linalg.norm(d)
+            plus = list(base)
+            minus = list(base)
+            plus[k] = base[k] + eps * d
+            minus[k] = base[k] - eps * d
+            fd = (loss64(*plus) - loss64(*minus)) / (2 * eps)
+            an = float(np.sum(g * d))
+            tol = 0.02 * max(abs(an), float(np.linalg.norm(g)) * 0.1) + 5e-3
+            assert abs(fd - an) < tol, (name, fd, an, tol)
 
 
 def test_surfel_sink_gradients():
