@@ -176,6 +176,8 @@ def bench_kernel_roofline(n_alive, res_w, res_h, instance_capacity):
 
 
 def main():
+    from divshot_tpu.core.cache import enable_compile_cache
+    enable_compile_cache()
     results = {}
 
     # 1. primary (comparable with BENCH_r01/r02)

@@ -18,6 +18,8 @@ import numpy as np
 
 def main(argv=None):
     import jax
+    from divshot_tpu.core.cache import enable_compile_cache
+    enable_compile_cache()
     from divshot_tpu.core.config import config_from_flags, auto_tune_config
     from divshot_tpu.core.metrics import (
         MetricsWriter, PhaseTracker, TrainingStatus)
@@ -63,8 +65,9 @@ def main(argv=None):
         if points is None:
             # no SfM cloud (e.g. blender): random init in the camera bbox
             rng = np.random.default_rng(cfg.seed)
-            points = rng.uniform(-1.3, 1.3, (100_000, 3)).astype(np.float32)
-            colors = rng.uniform(0, 1, (100_000, 3)).astype(np.float32)
+            n0 = min(100_000, int(cfg.densify.cap_max))
+            points = rng.uniform(-1.3, 1.3, (n0, 3)).astype(np.float32)
+            colors = rng.uniform(0, 1, (n0, 3)).astype(np.float32)
 
     cfg = auto_tune_config(cfg, ds.num_views)
     phase.set(TrainingStatus.GS)
@@ -76,6 +79,11 @@ def main(argv=None):
 
     model_path = cfg.model_path or "output"
     os.makedirs(model_path, exist_ok=True)
+
+    from divshot_tpu.core.config import ModelType
+    if cfg.model_type in (ModelType.DEFORM, ModelType.HEXPLANE):
+        return _train_dynamic(cfg, ds, eval_ds, params, model_path, phase)
+
     # instance buffers sized from RasterConfig (instance_capacity_mult x
     # cap_max) by Trainer._build_steps — a fixed literal here silently
     # overflows at reference-scale cap_max (round-2 weak #6)
@@ -151,6 +159,73 @@ def main(argv=None):
     print(f"saved {out_ply}")
 
     # final eval PSNR/SSIM on the test split
+    ev = run_eval(int(cfg.num_iters))
+    if ev is not None:
+        print(f"final eval over {ev['n_views']} views: "
+              f"PSNR {ev['psnr']:.2f} dB  SSIM {ev['ssim']:.4f}")
+    metrics_csv.close()
+    return 0
+
+
+def _train_dynamic(cfg, ds, eval_ds, params, model_path, phase):
+    """Dynamic-variant training loop (model_type DEFORM/HEXPLANE —
+    BASELINE configs #4/#5): tqdm progress, periodic full-pytree
+    checkpoints, eval curve at each view's own timestamp, final canonical
+    PLY."""
+    import json
+
+    import jax
+    import numpy as np
+    from tqdm import tqdm
+
+    from divshot_tpu.core.metrics import MetricsWriter, TrainingStatus
+    from divshot_tpu.models.dynamic import DynamicTrainer, evaluate_dynamic
+    from divshot_tpu.train import checkpoint as CK
+    from divshot_tpu.gsio import ply as P
+
+    backend = "pallas" if jax.default_backend() == "tpu" else "tiles"
+    trainer = DynamicTrainer(cfg, ds, params,
+                             render_kwargs={"backend": backend})
+    phase.set(TrainingStatus.TRAINING)
+    metrics_csv = MetricsWriter(os.path.join(model_path, "metrics.csv"))
+    pbar = tqdm(total=cfg.num_iters, desc="train[dyn]")
+    eval_curve: list[dict] = []
+
+    def run_eval(step):
+        if eval_ds is None or eval_ds.times is None:
+            return None
+        ev = evaluate_dynamic(trainer.state, trainer.net, eval_ds,
+                              render_kwargs={
+                                  "backend": backend,
+                                  "instance_capacity":
+                                  trainer._instance_capacity})
+        eval_curve.append({"step": step, **ev})
+        with open(os.path.join(model_path, "eval_curve.json"), "w") as f:
+            json.dump(eval_curve, f, indent=1)
+        return ev
+
+    def callback(i, state, m):
+        step = i + 1
+        pbar.update(1)
+        if step % 100 == 0:
+            metrics_csv.write(step, {k: v for k, v in m.items()})
+            pbar.set_postfix(loss=f"{float(m['loss']):.4f}",
+                             alive=int(m["num_alive"]))
+        if step % cfg.checkpoint_every == 0:
+            CK.save_checkpoint_pytree(model_path, state, step=step)
+        if cfg.eval_every and step % cfg.eval_every == 0:
+            ev = run_eval(step)
+            if ev:
+                pbar.write(f"[eval @ {step}] PSNR {ev['psnr']:.2f} dB")
+
+    trainer.run(cfg.num_iters, callback=callback)
+    pbar.close()
+    phase.set(TrainingStatus.TRAINING_DONE, 1.0)
+    CK.save_checkpoint_pytree(model_path, trainer.state,
+                              step=int(cfg.num_iters))
+    out_ply = os.path.join(model_path, "point_cloud.ply")
+    P.save_ply(out_ply, trainer.state.params)
+    print(f"saved canonical {out_ply}")
     ev = run_eval(int(cfg.num_iters))
     if ev is not None:
         print(f"final eval over {ev['n_views']} views: "

@@ -24,6 +24,8 @@ class DensifyStrategy:
 class ModelType:
     GS3D = 0
     GS2D = 1
+    DEFORM = 2     # deformable-3DGS: MLP deformation field (BASELINE #4)
+    HEXPLANE = 3   # 4DGS: HexPlane factored spacetime field (BASELINE #5)
 
 
 class PruneStrategy:
@@ -108,6 +110,13 @@ class TrainConfig:
     sh_degree: int = 3
     sh_degree_interval: int = 1000    # raise active SH degree every N iters
     enable_bg: bool = False           # separate sky/background model
+    # HBM packing ladder (reference packLevel {0, PackF32ToU8, |PackTileID},
+    # gs_train.cpp:90-96; auto-raised editor.cpp:1577-1582). TPU rungs:
+    # bit 1 packs the SH-band training buffers + their Adam moments to
+    # bf16 (the hardware-native reduced precision — u8 buffers would fight
+    # the VPU); bit 2 (tile-ID packing) is inherent here — binning always
+    # packs (tileID | depth) into u32 sort keys (raster/tiles.py).
+    pack_level: int = 0
 
     # schedule
     num_iters: int = 30_000
@@ -207,6 +216,8 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         "normal_consistency_loss": "normal_consistency_loss",
         "dist_loss_weight": "dist_loss_weight",
         "model_type": "model_type",
+        "packLevel": "pack_level",
+        "pack_level": "pack_level",
         "pixel_grad_scale": "pixel_grad_scale",
         "cull_sh": "cull_sh",
         "progressive_train": "progressive_train",

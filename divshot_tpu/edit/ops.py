@@ -41,7 +41,8 @@ def _project_centers(params: GaussianParams, camera: Camera) -> jnp.ndarray:
     """(C, 3): screen x, y, view z of splat centers."""
     R = camera.viewmat[:3, :3]
     t = camera.viewmat[:3, 3]
-    p = jnp.einsum("nj,ij->ni", params.means, R, precision="highest") + t
+    from divshot_tpu.splat.math import matvec3
+    p = matvec3(R, params.means) + t
     z = jnp.maximum(p[:, 2], 1e-6)
     u = camera.fx * p[:, 0] / z + camera.cx
     v = camera.fy * p[:, 1] / z + camera.cy
@@ -244,8 +245,8 @@ class EditSession:
         self._push_undo("transform", restore)
 
         p = self.params
-        new_means = jnp.einsum("ij,nj->ni", jnp.asarray(m[:3, :3], jnp.float32),
-                               p.means, precision="highest") \
+        from divshot_tpu.splat.math import matvec3 as _mv3
+        new_means = _mv3(jnp.asarray(m[:3, :3], jnp.float32), p.means) \
             + jnp.asarray(m[:3, 3], jnp.float32)
         rq = jnp.asarray(
             np.tile(_rotmat_to_quat_np(Rm), (p.capacity, 1)), jnp.float32)

@@ -30,7 +30,8 @@ def pixel_ray_dirs(camera: Camera) -> jnp.ndarray:
     gx, gy = jnp.meshgrid(xs, ys)
     d_cam = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)
     R = camera.viewmat[:3, :3]
-    d_world = jnp.einsum("hwj,ji->hwi", d_cam, R, precision="highest")
+    from divshot_tpu.splat.math import matvec3
+    d_world = matvec3(R.T, d_cam)
     return d_world / jnp.linalg.norm(d_world, axis=-1, keepdims=True).clip(1e-8)
 
 

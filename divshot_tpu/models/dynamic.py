@@ -245,3 +245,96 @@ def make_dynamic_train_step(cfg, dataset, net: nn.Module,
                              key=key), metrics
 
     return init_fn, step_fn
+
+
+# ---------------------------------------------------------------------------
+# first-class host loop (CLI / checkpoint surface, BASELINE configs #4-5)
+
+
+def net_for_model_type(model_type: int) -> nn.Module:
+    from divshot_tpu.core.config import ModelType
+    if model_type == ModelType.HEXPLANE:
+        return HexPlaneField()
+    return DeformationMLP()
+
+
+class DynamicTrainer:
+    """Host-side loop for the dynamic variants — the ``Trainer`` analog the
+    CLI drives when ``model_type`` is DEFORM/HEXPLANE. Same surface:
+    ``state``, ``step_once()``, ``run()``; checkpoints are the full
+    DynTrainState pytree (orbax, like the static path)."""
+
+    def __init__(self, cfg, dataset, params: GaussianParams,
+                 render_kwargs: dict | None = None):
+        if dataset.times is None:
+            raise ValueError(
+                "dynamic training needs per-view times (D-NeRF layout: "
+                "'time' in transforms frames)")
+        self.cfg = cfg
+        self.dataset = dataset
+        self.net = net_for_model_type(cfg.model_type)
+        rk = render_kwargs or {}
+        if "instance_capacity" not in rk:
+            rk["instance_capacity"] = max(
+                1 << 16,
+                int(cfg.raster.instance_capacity_mult * params.capacity))
+        self._instance_capacity = rk["instance_capacity"]
+        init_fn, step_fn = make_dynamic_train_step(
+            cfg, dataset, self.net, render_kwargs=rk)
+        self.state = init_fn(params, jax.random.PRNGKey(cfg.seed))
+        self._step_fn = jax.jit(step_fn, donate_argnums=(0,))
+        self._np_rng = np.random.default_rng(cfg.seed)
+        self.last_metrics: dict | None = None
+        self._host_step = 0
+
+    def step_once(self) -> dict:
+        view = jnp.int32(self._np_rng.integers(self.dataset.num_views))
+        self.state, m = self._step_fn(self.state, view)
+        self._host_step += 1
+        self.last_metrics = m
+        return m
+
+    def run(self, num_iters: int | None = None, callback=None) -> None:
+        n = num_iters if num_iters is not None else self.cfg.num_iters
+        for i in range(n):
+            m = self.step_once()
+            if callback is not None:
+                callback(i, self.state, m)
+
+    def deformed_params(self, t: float) -> GaussianParams:
+        """Canonical splats deformed to time ``t`` (viewer/export path)."""
+        deltas = self.net.apply(self.state.net_params,
+                                self.state.params.means, jnp.float32(t))
+        return apply_deformation(self.state.params, deltas)
+
+
+def evaluate_dynamic(state: DynTrainState, net: nn.Module, eval_ds, *,
+                     render_kwargs: dict | None = None,
+                     background=None) -> dict:
+    """Test-split PSNR/SSIM for dynamic scenes: each view renders the
+    canonical splats deformed to that view's timestamp."""
+    from divshot_tpu.raster.render import render
+    from divshot_tpu.train.losses import psnr, ssim
+
+    rk = dict(render_kwargs or {})
+    times = np.asarray(eval_ds.times)
+
+    @jax.jit
+    def _metrics(params, net_params, cam, t, gt):
+        deltas = net.apply(net_params, params.means, t)
+        p = apply_deformation(params, deltas)
+        out = render(p, cam, background=background, **rk)
+        return psnr(out.image, gt), ssim(out.image, gt)
+
+    psnrs, ssims = [], []
+    for i in range(eval_ds.num_views):
+        cam = jax.tree.map(lambda x: x[i], eval_ds.cameras)
+        cam = cam.replace(width=eval_ds.cameras.width,
+                          height=eval_ds.cameras.height)
+        gt = jnp.asarray(eval_ds.images[i]).astype(jnp.float32) / 255.0
+        p, s = _metrics(state.params, state.net_params, cam,
+                        jnp.float32(times[i]), gt)
+        psnrs.append(float(p))
+        ssims.append(float(s))
+    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+            "n_views": eval_ds.num_views}

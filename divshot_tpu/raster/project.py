@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from divshot_tpu.splat.camera import Camera
-from divshot_tpu.splat.math import build_cov3d
+from divshot_tpu.splat.math import build_cov3d, matvec3
 
 
 class Projection(NamedTuple):
@@ -50,7 +50,7 @@ def project_gaussians(
     t = viewmat[:3, 3]
     # precision="highest" throughout: world-space geometry must not round
     # through bf16 on the TPU MXU.
-    p_view = jnp.einsum("nj,ij->ni", means, R, precision="highest") + t
+    p_view = matvec3(R, means) + t
     z = p_view[..., 2]
 
     tan_fovx, tan_fovy = camera.tan_fovx, camera.tan_fovy

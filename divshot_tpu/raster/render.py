@@ -97,6 +97,22 @@ def render(
             override_colors=override_colors, with_geometry=False)
         return out
 
+    if backend == "surfel_pallas":
+        # Pallas twin of the surfel path (production on TPU; interpret mode
+        # elsewhere so tests exercise the same kernels)
+        from divshot_tpu.raster import pallas_surfel as _sp
+        import jax as _jax
+        out, _npix = _sp.render_surfels_pallas(
+            params, camera, sh_degree=sh_degree, background=background,
+            tile_size=tile_size, instance_capacity=instance_capacity,
+            instance_capacity_mult=instance_capacity_mult,
+            max_tiles_per_gaussian=max_tiles_per_gaussian, t_eps=t_eps,
+            absgrad_sink=absgrad_sink, means2d_sink=means2d_sink,
+            npix_sink=npix_sink, override_colors=override_colors,
+            with_geometry=False,
+            interpret=_jax.default_backend() != "tpu")
+        return out
+
     proj = project_gaussians(
         params.means, params.scales, params.quats, camera,
         eps2d=eps2d, antialiased=antialiased, fov_clamp=fov_clamp,

@@ -47,7 +47,7 @@ import jax
 import jax.numpy as jnp
 
 from divshot_tpu.splat.camera import Camera
-from divshot_tpu.splat.math import quat_to_rotmat
+from divshot_tpu.splat.math import quat_to_rotmat, matvec3
 
 ALPHA_MIN = 1.0 / 255.0
 ALPHA_MAX = 0.999
@@ -80,11 +80,9 @@ def project_surfels(
     su = jnp.exp(log_scales[:, 0])
     sv = jnp.exp(log_scales[:, 1])
     # view-space tangent frame + center
-    tu = jnp.einsum("ij,nj->ni", R_v, Rw[:, :, 0],
-                    precision="highest") * su[:, None]
-    tv = jnp.einsum("ij,nj->ni", R_v, Rw[:, :, 1],
-                    precision="highest") * sv[:, None]
-    cv = jnp.einsum("ij,nj->ni", R_v, means, precision="highest") + t_v
+    tu = matvec3(R_v, Rw[:, :, 0]) * su[:, None]
+    tv = matvec3(R_v, Rw[:, :, 1]) * sv[:, None]
+    cv = matvec3(R_v, means) + t_v
 
     fx, fy, cx, cy = camera.fx, camera.fy, camera.cx, camera.cy
 
@@ -121,7 +119,7 @@ def project_surfels(
     radii = jnp.where(valid, radius, 0.0)
 
     # camera-facing normal (third rotation column), camera space
-    n_cam = jnp.einsum("ij,nj->ni", R_v, Rw[:, :, 2], precision="highest")
+    n_cam = matvec3(R_v, Rw[:, :, 2])
     view = cv  # direction camera->splat in camera space
     flip = jnp.sign(-jnp.sum(n_cam * view, axis=1, keepdims=True))
     flip = jnp.where(flip == 0, 1.0, flip)
@@ -224,8 +222,11 @@ def _make_surfel_compositor(width: int, height: int, tile_size: int,
                  jnp.sum(wz * z_px * z_px, axis=1)], axis=-1)
             T = T * jnp.prod(om_eff, axis=1)
             done = done | jnp.any(q < t_eps, axis=1)
-            # per-splat applied-pixel counts (PixelGS statistic)
-            cnt = jnp.sum(applied, axis=2).astype(jnp.float32)  # (T, CH)
+            # per-splat applied-pixel counts (PixelGS statistic) — only
+            # pixels the splat actually contributes to (alpha > 0), not
+            # every pixel of every tile it was binned into
+            cnt = jnp.sum(applied & (alpha > 0),
+                          axis=2).astype(jnp.float32)  # (T, CH)
             sids = jnp.where(ids >= 0, ids, n).reshape(-1)
             npix = npix.at[sids].add(cnt.reshape(-1), mode="drop")
             return (accum, zacc, T, done, npix), None

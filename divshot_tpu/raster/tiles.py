@@ -63,21 +63,6 @@ def _tile_grid(width: int, height: int, tile_size: int) -> tuple[int, int]:
     return tw, th
 
 
-def _hold_last_scan(values: tuple[jax.Array, ...], flag: jax.Array):
-    """Segmented broadcast: out[i] = value at the latest j <= i with flag[j].
-
-    The TPU-native replacement for per-instance scatter/gather in binning —
-    a single O(log I) associative scan instead of ~1M random memory ops."""
-
-    def op(a, b):
-        af, bf = a[-1], b[-1]
-        out = tuple(jnp.where(bf, bv, av) for av, bv in zip(a[:-1], b[:-1]))
-        return (*out, af | bf)
-
-    res = jax.lax.associative_scan(op, (*values, flag))
-    return res[:-1]
-
-
 def bin_gaussians(
     means2d: jax.Array,     # (N, 2)
     depths: jax.Array,      # (N,)
@@ -96,8 +81,9 @@ def bin_gaussians(
     TPU-native analog of the reference's expand + radix-sort binning
     (``gpu_sort.cpp:16-25``; tile structs ``gaussian_common.hlsl``): the
     expansion is scatter-free — per-gaussian geometry is broadcast to its
-    instance slots with one boundary scatter (N elements) plus O(log I)
-    scans, then a single-key ``lax.sort`` on packed (tileID | depth-bits)
+    instance slots with one boundary scatter (N elements), a cummax and a
+    segment-start gather, then a single-key ``lax.sort`` on packed
+    (tileID | depth-bits)
     keys orders instances front-to-back per tile."""
     n = means2d.shape[0]
     tw, th = _tile_grid(width, height, tile_size)
@@ -131,7 +117,7 @@ def bin_gaussians(
     # One boundary scatter (N elements, distinct offsets since every valid
     # gaussian consumes >= 1 slot) marks each gaussian's first instance
     # slot; cummax gives the segment start, and per-gaussian geometry +
-    # identity ride to instances through a hold-last associative scan.
+    # identity ride to instances through a segment-start gather.
     iota = jnp.arange(cap, dtype=jnp.int32)
     goff = jnp.where(counts > 0, offsets, cap)             # drop empty/overflow
 
@@ -151,7 +137,13 @@ def bin_gaussians(
     flag = M[:, 0] != 0
     start = jax.lax.cummax(jnp.where(flag, iota, 0))
     j = iota - start                                       # rank within gaussian
-    chA, chB, own1 = _hold_last_scan((M[:, 0], M[:, 1], M[:, 2]), flag)
+    # hold-last = gather at the segment start (start IS the latest flagged
+    # index; M[0] handles the no-prior-flag prefix: zeros -> owner -1).
+    # An associative_scan formulation compiles catastrophically on the TPU
+    # backend (~70 s at 2^20 instances, ~20 min at 2^22 — measured); the
+    # gather compiles in ~1 s and runs at HBM bandwidth.
+    held = jnp.take(M, start, axis=0)                      # (cap, 3)
+    chA, chB, own1 = held[:, 0], held[:, 1], held[:, 2]
     owner = own1.astype(jnp.int32) - 1            # 0 sentinel -> -1
 
     nx_i = (chA & jnp.uint32(0x1FFF)).astype(jnp.int32)

@@ -128,7 +128,9 @@ class GaussianParams:
         alive = np.asarray(self.alive)
         out = {}
         for k in ("means", "scales", "quats", "opacity", "sh0", "shN"):
-            out[k] = np.asarray(getattr(self, k))[alive]
+            # f32 view regardless of training-buffer packing (packLevel)
+            out[k] = np.asarray(getattr(self, k)).astype(
+                np.float32, copy=False)[alive]
         return out
 
 
@@ -149,22 +151,27 @@ def init_from_points(
     colors = np.asarray(colors, np.float32)
     n = points.shape[0]
 
-    # kNN mean distance (3 neighbors), chunked O(n^2) on host — fine for sparse
-    # SfM clouds (10k-500k points).
-    d2_mean = np.empty((n,), np.float32)
-    chunk = 4096
-    for s in range(0, n, chunk):
-        e = min(s + chunk, n)
-        d2 = (
-            np.sum(points[s:e, None, :] ** 2, -1).astype(np.float32)
-            + np.sum(points[None, :, :] ** 2, -1)
-            - 2.0 * points[s:e] @ points.T
-        )
-        np.maximum(d2, 1e-10, out=d2)
-        idx = np.argpartition(d2, 3, axis=1)[:, :4]
-        vals = np.take_along_axis(d2, idx, axis=1)
-        vals.sort(axis=1)
-        d2_mean[s:e] = vals[:, 1:4].mean(axis=1)  # skip self (dist 0)
+    # kNN mean distance (3 neighbors) via KD-tree (the reference's
+    # simple_knn CUDA kernel equivalent; host-side here — init is one-shot)
+    try:
+        from scipy.spatial import cKDTree
+        knn_d, _idx = cKDTree(points).query(points, k=4, workers=-1)
+        d2_mean = (knn_d[:, 1:4].astype(np.float32) ** 2).mean(axis=1)
+    except ImportError:  # chunked O(n^2) fallback
+        d2_mean = np.empty((n,), np.float32)
+        chunk = 4096
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            d2 = (
+                np.sum(points[s:e, None, :] ** 2, -1).astype(np.float32)
+                + np.sum(points[None, :, :] ** 2, -1)
+                - 2.0 * points[s:e] @ points.T
+            )
+            np.maximum(d2, 1e-10, out=d2)
+            idx = np.argpartition(d2, 3, axis=1)[:, :4]
+            vals = np.take_along_axis(d2, idx, axis=1)
+            vals.sort(axis=1)
+            d2_mean[s:e] = vals[:, 1:4].mean(axis=1)  # skip self (dist 0)
     dist = np.sqrt(np.maximum(d2_mean, 1e-7))
     log_scales = np.repeat(np.log(dist)[:, None], 3, axis=1)
 

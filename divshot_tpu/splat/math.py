@@ -120,3 +120,24 @@ def quat_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
         ],
         -1,
     )
+
+
+def matvec3(R, x):
+    """Batched 3-vector rotation: out[..., i] = Σ_j R[i, j] · x[..., j].
+
+    Written elementwise on purpose — an (N, 3) × (3, 3) ``dot`` at
+    ``precision="highest"`` takes XLA MINUTES to compile at N ≈ 10⁶ on both
+    the TPU and CPU backends (measured: 300-470 s at N = 2^19 for the
+    single einsum, vs ~1 s for this form), and elementwise FMA is exact
+    f32 anyway."""
+    return jnp.stack(
+        [R[0, 0] * x[..., 0] + R[0, 1] * x[..., 1] + R[0, 2] * x[..., 2],
+         R[1, 0] * x[..., 0] + R[1, 1] * x[..., 1] + R[1, 2] * x[..., 2],
+         R[2, 0] * x[..., 0] + R[2, 1] * x[..., 1] + R[2, 2] * x[..., 2]],
+        axis=-1)
+
+
+def dot3(r, x):
+    """Batched dot with one 3-vector: out[...] = Σ_j r[j] · x[..., j]
+    (same compile-time rationale as ``matvec3``)."""
+    return r[0] * x[..., 0] + r[1] * x[..., 1] + r[2] * x[..., 2]

@@ -27,12 +27,25 @@ def checkpoint_dir(model_path: str, step: int) -> str:
     return os.path.join(os.path.abspath(model_path), f"iteration_{step}")
 
 
+def _strip_empty(tree):
+    """orbax refuses zero-size arrays (shN at sh_degree 0); store None
+    (an empty subtree) in their place and restore from the template."""
+    return jax.tree.map(
+        lambda x: None if np.asarray(x).size == 0 else np.asarray(x), tree)
+
+
+def _merge_template(restored, template):
+    return jax.tree.map(
+        lambda r, t: jax.numpy.asarray(t) if r is None
+        else jax.numpy.asarray(r),
+        restored, template, is_leaf=lambda x: x is None)
+
+
 def save_checkpoint(model_path: str, state: TrainState, *, step: int,
                     export_ply: bool = True) -> str:
     path = checkpoint_dir(model_path, step)
     ckpt = ocp.PyTreeCheckpointer()
-    ckpt.save(os.path.join(path, "state"),
-              jax.tree.map(np.asarray, state), force=True)
+    ckpt.save(os.path.join(path, "state"), _strip_empty(state), force=True)
     if export_ply:
         P.save_ply(os.path.join(path, "point_cloud.ply"), state.params)
     return path
@@ -53,5 +66,21 @@ def load_checkpoint(model_path: str, step: int,
     """Restore with ``template`` providing structure/shapes."""
     path = os.path.join(checkpoint_dir(model_path, step), "state")
     ckpt = ocp.PyTreeCheckpointer()
-    restored = ckpt.restore(path, item=jax.tree.map(np.asarray, template))
-    return jax.tree.map(jax.numpy.asarray, restored)
+    restored = ckpt.restore(path, item=_strip_empty(template))
+    return _merge_template(restored, template)
+
+
+def save_checkpoint_pytree(model_path: str, state, *, step: int) -> str:
+    """Checkpoint an arbitrary train-state pytree (dynamic variants carry
+    net params + optax state alongside the splat fields)."""
+    path = checkpoint_dir(model_path, step)
+    ckpt = ocp.PyTreeCheckpointer()
+    ckpt.save(os.path.join(path, "state"), _strip_empty(state), force=True)
+    return path
+
+
+def load_checkpoint_pytree(model_path: str, step: int, template):
+    path = os.path.join(checkpoint_dir(model_path, step), "state")
+    ckpt = ocp.PyTreeCheckpointer()
+    restored = ckpt.restore(path, item=_strip_empty(template))
+    return _merge_template(restored, template)

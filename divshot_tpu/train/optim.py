@@ -93,18 +93,20 @@ def adam_update(
     new_mu: dict[str, jax.Array] = {}
     new_nu: dict[str, jax.Array] = {}
     for f in PARAM_FIELDS:
-        g = grads[f]
+        # math in f32 even when the stored buffers are packed to bf16
+        # (packLevel ladder): moments/updates round back to storage dtype
+        g = grads[f].astype(jnp.float32)
         p = getattr(params, f)
-        mu = state.mu[f] * b1 + (1 - b1) * g
-        nu = state.nu[f] * b2 + (1 - b2) * g * g
+        mu = state.mu[f].astype(jnp.float32) * b1 + (1 - b1) * g
+        nu = state.nu[f].astype(jnp.float32) * b2 + (1 - b2) * g * g
         upd = lrs[f] * (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
         if visible is not None and cfg.visible_adam:
             mask = visible.reshape((-1,) + (1,) * (p.ndim - 1))
-            mu = jnp.where(mask, mu, state.mu[f])
-            nu = jnp.where(mask, nu, state.nu[f])
+            mu = jnp.where(mask, mu, state.mu[f].astype(jnp.float32))
+            nu = jnp.where(mask, nu, state.nu[f].astype(jnp.float32))
             upd = jnp.where(mask, upd, 0.0)
-        new_p[f] = p - upd
-        new_mu[f] = mu
-        new_nu[f] = nu
+        new_p[f] = (p.astype(jnp.float32) - upd).astype(p.dtype)
+        new_mu[f] = mu.astype(state.mu[f].dtype)
+        new_nu[f] = nu.astype(state.nu[f].dtype)
 
     return params.replace(**new_p), AdamState(mu=new_mu, nu=new_nu, step=step)

@@ -60,6 +60,7 @@ class TrainerSession:
         self._sfm_colors: np.ndarray | None = None
         self._snapshot: dict[str, np.ndarray] | None = None
         self._snapshot_lock = threading.Lock()
+        self.snapshot_generation = 0   # bumps per snapshot (live viewer)
         self._config_queue: "queue.Queue[Callable]" = queue.Queue()
         self._pause = threading.Event()
         self._terminate = threading.Event()
@@ -245,6 +246,7 @@ class TrainerSession:
         }
         with self._snapshot_lock:
             self._snapshot = snap
+            self.snapshot_generation += 1
 
     def _get(self, key: str) -> np.ndarray:
         with self._snapshot_lock:

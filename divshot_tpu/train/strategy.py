@@ -230,24 +230,39 @@ def alpha_reset(cfg: DensifyConfig, params: GaussianParams,
 
 _RELOC_N_MAX = 51  # matches gsplat's relocation n_max
 
-# closed form of the double binomial sum: the inner
-# sum_{i=k}^{N-1} C(i, k) telescopes (hockey-stick) to C(N, k+1), so
-# denom(a, N) = sum_{j=1}^{N} C(N, j) (-1)^{j-1} a^j / sqrt(j)
-_RELOC_BINOM = np.array(
-    [[_math.comb(n, j) for j in range(1, _RELOC_N_MAX + 1)]
-     for n in range(_RELOC_N_MAX + 1)], np.float32)
-_RELOC_SIGN = np.where(np.arange(_RELOC_N_MAX) % 2 == 0, 1.0,
-                       -1.0).astype(np.float32)
-_RELOC_ISQRT = (1.0 / np.sqrt(np.arange(1, _RELOC_N_MAX + 1))
-                ).astype(np.float32)
+# denom(a, N) = Σ_{i=1..N} Σ_{k=0..i-1} C(i-1,k)(-1)^k a^{k+1}/√(k+1)
+# (hockey-stick-reduced to Σ_{j=1..N} C(N,j)(-1)^{j-1} a^j/√j). The
+# alternating binomial sum is CATASTROPHICALLY unstable in f32 for N ≳ 20
+# (C(51,26) ≈ 2.5e14 ⇒ rounding error ~1e7 against an O(1) result) — a
+# corrupted denominator explodes or implodes the rescaled log-scales of the
+# most popular relocation targets and collapses training at the first
+# refine. Stable form via 1/√j = (1/√π)∫ t^(-1/2) e^{-jt} dt:
+#     denom(a, N) = (2/√π) ∫_0^∞ [1 - (1 - a·e^{-u²})^N] du
+# (positive integrand, no cancellation; N=1 → a exactly). Precomputed in
+# f64 on a (N, logit(a)) grid at import; runtime is a gather + lerp.
+_RELOC_LOGIT_LO, _RELOC_LOGIT_HI, _RELOC_GRID = -11.6, 11.6, 256
+
+
+def _reloc_denom_table() -> np.ndarray:
+    u = np.linspace(0.0, 8.0, 4096)
+    logits = np.linspace(_RELOC_LOGIT_LO, _RELOC_LOGIT_HI, _RELOC_GRID)
+    a = 1.0 / (1.0 + np.exp(-logits))                     # (G,)
+    n = np.arange(0, _RELOC_N_MAX + 1, dtype=np.float64)  # (N+1,)
+    inner = 1.0 - a[None, :, None] * np.exp(-u[None, None, :] ** 2)
+    g = 1.0 - np.power(np.clip(inner, 1e-300, None),
+                       np.maximum(n, 1.0)[:, None, None])
+    return ((2.0 / np.sqrt(np.pi))
+            * np.trapezoid(g, x=u, axis=-1)).astype(np.float32)
+
+
+_RELOC_DENOM = _reloc_denom_table()                       # (N_MAX+1, G)
 
 
 def _relocation_rescale(opacity_logit: jax.Array, scales_log: jax.Array,
                         n_split: jax.Array) -> tuple[jax.Array, jax.Array]:
     """Exact MCMC N-way split rule (Kheradmand et al., "3DGS as MCMC"):
-    alpha_new = 1-(1-alpha)^(1/N) and scale_new = scale · alpha/denom with
-    denom = Σ_{i=1..N} Σ_{k=0..i-1} C(i-1,k)(-1)^k alpha_new^{k+1}/√(k+1),
-    reduced to a single O(N) sum per splat (see _RELOC_BINOM comment)."""
+    alpha_new = 1-(1-alpha)^(1/N), scale_new = scale · alpha/denom(a_new, N)
+    with the stable tabulated denominator (see _RELOC_DENOM)."""
     alpha = jax.nn.sigmoid(opacity_logit)
     n = jnp.clip(n_split, 1, _RELOC_N_MAX)
     nf = n.astype(jnp.float32)
@@ -255,14 +270,22 @@ def _relocation_rescale(opacity_logit: jax.Array, scales_log: jax.Array,
     a_new = jnp.clip(a_new, 1e-5, 1 - 1e-5)
     o_new = jnp.log(a_new) - jnp.log1p(-a_new)
 
-    j = jnp.arange(1, _RELOC_N_MAX + 1, dtype=jnp.float32)      # (J,)
-    binom = jnp.asarray(_RELOC_BINOM)[n]                        # (C, J)
-    pow_a = jnp.exp(j[None, :] * jnp.log(a_new)[:, None])       # a^j
-    denom = jnp.sum(binom * jnp.asarray(_RELOC_SIGN) * pow_a
-                    * jnp.asarray(_RELOC_ISQRT), axis=1)
-    coeff = alpha / jnp.maximum(denom, 1e-12)                   # ==1 for N=1
+    t = (o_new - _RELOC_LOGIT_LO) / (_RELOC_LOGIT_HI - _RELOC_LOGIT_LO) \
+        * (_RELOC_GRID - 1)
+    t = jnp.clip(t, 0.0, _RELOC_GRID - 1.0)
+    i0 = jnp.floor(t).astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, _RELOC_GRID - 1)
+    frac = t - i0.astype(jnp.float32)
+    tab = jnp.asarray(_RELOC_DENOM)
+    denom = tab[n, i0] * (1.0 - frac) + tab[n, i1] * frac
+    # alpha <= denom holds analytically (N-way splits never grow a splat);
+    # the clamp is a hard safety net against interpolation slack
+    coeff = jnp.minimum(alpha / jnp.maximum(denom, 1e-12), 1.0)
     s_new = scales_log + jnp.log(jnp.maximum(coeff, 1e-12))[:, None]
-    return o_new, s_new
+    # N == 1 is the identity analytically — make it exact (no interp slack)
+    one = n == 1
+    return (jnp.where(one, opacity_logit, o_new),
+            jnp.where(one[:, None], scales_log, s_new))
 
 
 def mcmc_refine(

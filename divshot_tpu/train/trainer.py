@@ -10,6 +10,7 @@ the step compiles once; densification edits fixed-capacity buffers in place.
 
 from __future__ import annotations
 
+import functools
 import time
 import warnings
 from dataclasses import dataclass, field
@@ -145,8 +146,10 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         # Pallas kernels are the production path on TPU; the XLA tile
         # rasterizer stays the oracle (and the CPU/test default, where
         # Pallas would run in slow interpret mode)
-        backend="surfel" if cfg.model_type == 1
-        else ("pallas" if jax.default_backend() == "tpu" else "tiles"),
+        backend=(("surfel_pallas" if jax.default_backend() == "tpu"
+                  else "surfel") if cfg.model_type == 1
+                 else ("pallas" if jax.default_backend() == "tpu"
+                       else "tiles")),
         tile_size=rcfg.tile_size,
         antialiased=rcfg.mip_antialiased,
         eps2d=rcfg.eps2d,
@@ -231,25 +234,38 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                 from divshot_tpu.train import geometry as G
                 Rv = camera.viewmat[:3, :3]
                 tz = camera.viewmat[2, 3]
-                z = jnp.einsum("nj,j->n", p.means, Rv[2],
-                               precision="highest") + tz
+                from divshot_tpu.splat.math import dot3
+                z = dot3(Rv[2], p.means) + tz
                 n_world = G.splat_normals(p, camera)
-                n_cam = jnp.einsum("nj,ij->ni", n_world, Rv,
-                                   precision="highest")
+                from divshot_tpu.splat.math import matvec3
+                n_cam = matvec3(Rv, n_world)
                 aux = jnp.concatenate(
                     [z[:, None], (z * z)[:, None], n_cam[:, :2]], axis=1)
             single_pass = need_geom and (
                 rk.get("backend") == "pallas" or surfel)
             if surfel:
                 # exact 2DGS: ray-splat intersection kernel; per-pixel
-                # intersection depth feeds the geometry losses
-                from divshot_tpu.raster.surfel import render_surfels
+                # intersection depth feeds the geometry losses. Pallas
+                # kernels (pallas_surfel) are the TPU production path; the
+                # XLA scan compositor (raster/surfel) is the oracle.
                 srk = {k: v for k, v in rk.items()
                        if k in ("tile_size", "tile_capacity",
                                 "instance_capacity",
                                 "instance_capacity_mult",
                                 "max_tiles_per_gaussian", "chunk", "t_eps")}
-                out, npix_fwd = render_surfels(
+                if rk.get("backend") == "surfel_pallas":
+                    from divshot_tpu.raster.pallas_surfel import \
+                        render_surfels_pallas
+                    srk.pop("tile_capacity", None)
+                    srk.pop("chunk", None)
+                    render_fn = functools.partial(
+                        render_surfels_pallas, npix_sink=npix_sink,
+                        interpret=jax.default_backend() != "tpu")
+                else:
+                    from divshot_tpu.raster.surfel import render_surfels
+                    render_fn = functools.partial(
+                        render_surfels, npix_sink=npix_sink)
+                out, npix_fwd = render_fn(
                     p, camera,
                     background=jnp.zeros((3,)) if cfg.enable_bg else bg,
                     absgrad_sink=abs_sink, means2d_sink=m2d_sink,
@@ -420,6 +436,15 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
     return train_step
 
 
+def _device_memory_bytes() -> int:
+    """Best-effort per-device memory (v5e HBM default when unqueryable)."""
+    try:
+        stats = jax.devices()[0].memory_stats() or {}
+        return int(stats.get("bytes_limit", 16 * 1024 ** 3))
+    except Exception:
+        return 16 * 1024 ** 3
+
+
 class Trainer:
     """Host-side loop driving the jitted step; mirrors the reference CLI
     semantics (progress logging, periodic checkpoints —
@@ -430,6 +455,17 @@ class Trainer:
                  render_kwargs: dict[str, Any] | None = None):
         self.cfg = cfg
         self.dataset = dataset
+        # packLevel: auto-raise with the reference's VRAM guard
+        # (splats × 236 B × 10 > 50% of device memory, editor.cpp:1577-1582)
+        pack = cfg.pack_level
+        if params.capacity * 236 * 10 > 0.5 * _device_memory_bytes():
+            pack |= 3
+        self.pack_level = pack
+        if pack & 1 and params.shN.dtype != jnp.bfloat16:
+            # bit 1: SH bands (the bulk of the payload: 45 of 59 floats l3)
+            # + their Adam moments live in bf16 (moments inherit the dtype
+            # via AdamState.init's zeros_like)
+            params = params.replace(shN=params.shN.astype(jnp.bfloat16))
         bg_state = None
         if cfg.enable_bg:
             from divshot_tpu.models.background import init_envmap

@@ -1,13 +1,18 @@
-"""Self-contained HTML viewer export — parity with the reference editor's
+"""Self-contained HTML splat viewer — parity with the reference editor's
 "export HTML view" (``application/editor/source/html_view_template.hpp``):
-one .html file embedding the splat data (antimatter15 .splat layout,
-base64) plus a WebGL2 viewer with orbit controls and a worker-less
-progressive depth sort."""
+a WebGL2 viewer (orbit controls, progressive depth sort) over the
+antimatter15 .splat 32-byte record layout.
+
+Two data sources share the template:
+- ``export_html``: one .html embedding the splat data (base64) — static;
+- ``viewer/live.py``: the same page with a polling loader that refetches
+  ``/splats`` while a TrainerSession trains (the reference's live training
+  view, ``editor.cpp:1556-1575``).
+"""
 
 from __future__ import annotations
 
 import base64
-import io
 import os
 
 from divshot_tpu.splat.gaussians import GaussianParams
@@ -20,7 +25,8 @@ _TEMPLATE = """<!DOCTYPE html>
 <style>
  html,body{margin:0;height:100%;overflow:hidden;background:#111;color:#ddd;
    font-family:monospace}
- #info{position:absolute;left:8px;top:8px;z-index:2;font-size:12px}
+ #info{position:absolute;left:8px;top:8px;z-index:2;font-size:12px;
+   white-space:pre}
  canvas{width:100%;height:100%;display:block}
 </style>
 </head>
@@ -28,13 +34,8 @@ _TEMPLATE = """<!DOCTYPE html>
 <div id="info">divshot_tpu — drag: orbit, wheel: zoom, right-drag: pan</div>
 <canvas id="c"></canvas>
 <script>
-const SPLAT_B64 = "__SPLAT_DATA__";
 function b64ToBytes(b){const s=atob(b);const a=new Uint8Array(s.length);
   for(let i=0;i<s.length;i++)a[i]=s.charCodeAt(i);return a;}
-const bytes = b64ToBytes(SPLAT_B64);
-const N = bytes.length / 32;
-const f32 = new Float32Array(bytes.buffer);
-const u8 = bytes;
 
 const canvas = document.getElementById('c');
 const gl = canvas.getContext('webgl2', {antialias:false});
@@ -100,21 +101,6 @@ gl.attachShader(prog, shader(gl.VERTEX_SHADER, vsrc));
 gl.attachShader(prog, shader(gl.FRAGMENT_SHADER, fsrc));
 gl.linkProgram(prog); gl.useProgram(prog);
 
-// unpack instance attributes
-const centers=new Float32Array(N*3), scales=new Float32Array(N*3),
-      rgbas=new Float32Array(N*4), quats=new Float32Array(N*4),
-      depths=new Float32Array(N);
-let cx=0,cy=0,cz=0;
-for(let i=0;i<N;i++){
-  centers[i*3]=f32[i*8]; centers[i*3+1]=f32[i*8+1]; centers[i*3+2]=f32[i*8+2];
-  scales[i*3]=f32[i*8+3]; scales[i*3+1]=f32[i*8+4]; scales[i*3+2]=f32[i*8+5];
-  for(let k=0;k<4;k++) rgbas[i*4+k]=u8[i*32+24+k]/255;
-  for(let k=0;k<4;k++) quats[i*4+k]=(u8[i*32+28+k]-128)/128;
-  cx+=centers[i*3];cy+=centers[i*3+1];cz+=centers[i*3+2];
-}
-cx/=N;cy/=N;cz/=N;
-const order=new Uint32Array(N); for(let i=0;i<N;i++)order[i]=i;
-
 const quad=new Float32Array([-1,-1, 1,-1, -1,1, 1,1]);
 function buf(loc,data,size,div){const b=gl.createBuffer();
   gl.bindBuffer(gl.ARRAY_BUFFER,b);
@@ -123,8 +109,38 @@ function buf(loc,data,size,div){const b=gl.createBuffer();
   gl.vertexAttribPointer(loc,size,gl.FLOAT,false,0,0);
   gl.vertexAttribDivisor(loc,div);return b;}
 buf(0,quad,2,0);
-const bc=buf(1,centers,3,1), bs=buf(2,scales,3,1),
-      br=buf(3,rgbas,4,1), bq=buf(4,quats,4,1);
+let bc=null,bs=null,br=null,bq=null;
+
+// splat state — rebuilt whenever new bytes arrive (live mode refetches)
+let N=0, centers=null, scales=null, rgbas=null, quats=null, depths=null,
+    order=null, cx=0, cy=0, cz=0, haveCenter=false;
+
+function loadSplatBytes(bytes){
+  const f32=new Float32Array(bytes.buffer,bytes.byteOffset,
+                             bytes.byteLength>>2);
+  const u8=bytes;
+  N = bytes.byteLength/32|0;
+  centers=new Float32Array(N*3); scales=new Float32Array(N*3);
+  rgbas=new Float32Array(N*4); quats=new Float32Array(N*4);
+  depths=new Float32Array(N); order=new Uint32Array(N);
+  let sx=0,sy=0,sz=0;
+  for(let i=0;i<N;i++){
+    centers[i*3]=f32[i*8]; centers[i*3+1]=f32[i*8+1];
+    centers[i*3+2]=f32[i*8+2];
+    scales[i*3]=f32[i*8+3]; scales[i*3+1]=f32[i*8+4];
+    scales[i*3+2]=f32[i*8+5];
+    for(let k=0;k<4;k++) rgbas[i*4+k]=u8[i*32+24+k]/255;
+    for(let k=0;k<4;k++) quats[i*4+k]=(u8[i*32+28+k]-128)/128;
+    sx+=centers[i*3];sy+=centers[i*3+1];sz+=centers[i*3+2];
+    order[i]=i;
+  }
+  if(!haveCenter && N>0){cx=sx/N;cy=sy/N;cz=sz/N;haveCenter=true;}
+  function re(b,data,loc,size){if(b)gl.deleteBuffer(b);
+    return buf(loc,data,size,1);}
+  bc=re(bc,centers,1,3); bs=re(bs,scales,2,3);
+  br=re(br,rgbas,3,4); bq=re(bq,quats,4,4);
+  lastSort=-1e9;  // force immediate resort
+}
 
 let theta=0.6, phi=0.4, radius=4.0, panX=0, panY=0;
 let dragging=0;
@@ -137,10 +153,6 @@ window.onmousemove=e=>{
   if(dragging===2){panX-=e.movementX*0.002*radius;
     panY+=e.movementY*0.002*radius;}};
 window.onwheel=e=>{radius*=Math.exp(e.deltaY*0.001);};
-
-function mat4mul(a,b){const o=new Float32Array(16);
- for(let i=0;i<4;i++)for(let j=0;j<4;j++){let s=0;
-  for(let k=0;k<4;k++)s+=a[k*4+j]*b[i*4+k];o[i*4+j]=s;}return o;}
 
 function resort(view){
   for(let i=0;i<N;i++){
@@ -177,19 +189,23 @@ function frame(t){
   const near=0.02,far=200.0;
   const proj=new Float32Array([fx,0,0,0, 0,fy,0,0,
     0,0,(far+near)/(near-far),-1, 0,0,2*far*near/(near-far),0]);
-  if(t-lastSort>200){resort(view);lastSort=t;}
-  gl.useProgram(prog);
-  gl.uniformMatrix4fv(gl.getUniformLocation(prog,'view'),false,view);
-  gl.uniformMatrix4fv(gl.getUniformLocation(prog,'proj'),false,proj);
-  gl.uniform2f(gl.getUniformLocation(prog,'focal'),
-    fx*canvas.width/2, fy*canvas.height/2);
-  gl.uniform2f(gl.getUniformLocation(prog,'viewport'),
-    canvas.width, canvas.height);
-  gl.disable(gl.DEPTH_TEST);
-  gl.enable(gl.BLEND);
-  gl.blendFunc(gl.ONE, gl.ONE_MINUS_SRC_ALPHA);
-  gl.clearColor(0.05,0.05,0.08,1); gl.clear(gl.COLOR_BUFFER_BIT);
-  gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,N);
+  if(N>0){
+    if(t-lastSort>200){resort(view);lastSort=t;}
+    gl.useProgram(prog);
+    gl.uniformMatrix4fv(gl.getUniformLocation(prog,'view'),false,view);
+    gl.uniformMatrix4fv(gl.getUniformLocation(prog,'proj'),false,proj);
+    gl.uniform2f(gl.getUniformLocation(prog,'focal'),
+      fx*canvas.width/2, fy*canvas.height/2);
+    gl.uniform2f(gl.getUniformLocation(prog,'viewport'),
+      canvas.width, canvas.height);
+    gl.disable(gl.DEPTH_TEST);
+    gl.enable(gl.BLEND);
+    gl.blendFunc(gl.ONE, gl.ONE_MINUS_SRC_ALPHA);
+    gl.clearColor(0.05,0.05,0.08,1); gl.clear(gl.COLOR_BUFFER_BIT);
+    gl.drawArraysInstanced(gl.TRIANGLE_STRIP,0,4,N);
+  } else {
+    gl.clearColor(0.05,0.05,0.08,1); gl.clear(gl.COLOR_BUFFER_BIT);
+  }
   requestAnimationFrame(frame);
 }
 function sub3(a,b){return [a[0]-b[0],a[1]-b[1],a[2]-b[2]];}
@@ -199,22 +215,60 @@ function cross3(a,b){return [a[1]*b[2]-a[2]*b[1],a[2]*b[0]-a[0]*b[2],
 function norm3(a){const l=Math.hypot(a[0],a[1],a[2])||1;
   return [a[0]/l,a[1]/l,a[2]/l];}
 requestAnimationFrame(frame);
+
+__DATA_SOURCE__
 </script>
 </body>
 </html>
 """
 
+_STATIC_SOURCE = """
+const SPLAT_B64 = "__SPLAT_DATA__";
+loadSplatBytes(b64ToBytes(SPLAT_B64));
+"""
 
-def export_html(path: str, params: GaussianParams,
-                max_splats: int = 1_000_000) -> str:
-    """Write a single-file HTML splat viewer embedding ``params``."""
+_LIVE_SOURCE = """
+const info = document.getElementById('info');
+let generation = -1;
+async function poll(){
+  try{
+    const st = await (await fetch('status')).json();
+    info.textContent = `divshot_tpu LIVE  iter ${st.iteration}/` +
+      `${st.max_iterations}  loss ${(st.loss??0).toFixed(4)}  ` +
+      `splats ${st.num_splats}  [${st.phase}]`;
+    if (st.generation !== generation){
+      generation = st.generation;
+      const r = await fetch('splats');
+      if (r.ok) loadSplatBytes(new Uint8Array(await r.arrayBuffer()));
+    }
+  }catch(e){ info.textContent = 'divshot_tpu LIVE — waiting for trainer'; }
+  setTimeout(poll, __POLL_MS__);
+}
+poll();
+"""
+
+
+def render_template(data_source_js: str) -> str:
+    return _TEMPLATE.replace("__DATA_SOURCE__", data_source_js)
+
+
+def live_page(poll_ms: int = 1000) -> str:
+    """The live-viewer page (used by ``viewer.live.LiveViewerServer``)."""
+    return render_template(_LIVE_SOURCE.replace("__POLL_MS__",
+                                                str(poll_ms)))
+
+
+def splat_bytes(params: GaussianParams, max_splats: int = 1_000_000
+                ) -> bytes:
+    """Pack params to antimatter15 .splat records (the wire format both
+    viewer modes consume)."""
     from divshot_tpu.gsio.ply import save_splat
     import tempfile
 
     d = params.compact_numpy()
     n = d["means"].shape[0]
     if n > max_splats:
-        # keep the most opaque splats when downsampling for file size
+        # keep the most opaque splats when downsampling for size
         idx = d["opacity"].argsort()[::-1][:max_splats]
         from divshot_tpu.splat.gaussians import GaussianParams as GP
         degree = {0: 0, 3: 1, 8: 2, 15: 3}[d["shN"].shape[1]]
@@ -228,12 +282,17 @@ def export_html(path: str, params: GaussianParams,
     try:
         save_splat(tmp, params)
         with open(tmp, "rb") as f:
-            raw = f.read()
+            return f.read()
     finally:
         os.unlink(tmp)
 
-    html = _TEMPLATE.replace("__SPLAT_DATA__",
-                             base64.b64encode(raw).decode())
+
+def export_html(path: str, params: GaussianParams,
+                max_splats: int = 1_000_000) -> str:
+    """Write a single-file HTML splat viewer embedding ``params``."""
+    raw = splat_bytes(params, max_splats)
+    html = render_template(_STATIC_SOURCE).replace(
+        "__SPLAT_DATA__", base64.b64encode(raw).decode())
     with open(path, "w") as f:
         f.write(html)
     return path

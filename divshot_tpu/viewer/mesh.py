@@ -24,7 +24,8 @@ def render_depth(params: GaussianParams, camera: Camera,
     per-splat 'color' channel; normalized by alpha."""
     R = camera.viewmat[:3, :3]
     t = camera.viewmat[:3, 3]
-    z = jnp.einsum("nj,j->n", params.means, R[2], precision="highest") + t[2]
+    from divshot_tpu.splat.math import dot3
+    z = dot3(R[2], params.means) + t[2]
     depth_colors = jnp.stack([z, z, z], -1)
     out = render(params, camera, override_colors=depth_colors, **render_kw)
     alpha = np.asarray(out.alpha)
@@ -67,7 +68,8 @@ def tsdf_fuse(
     def fuse_one(viewmat, fx, fy, cx, cy, depth, alpha, acc, wacc):
         R = viewmat[:3, :3]
         t = viewmat[:3, 3]
-        p = jnp.einsum("nj,ij->ni", pts_j, R, precision="highest") + t
+        from divshot_tpu.splat.math import matvec3
+        p = matvec3(R, pts_j) + t
         z = p[:, 2]
         H, W = depth.shape
         u = (fx * p[:, 0] / jnp.maximum(z, 1e-6) + cx).astype(jnp.int32)

@@ -38,8 +38,8 @@ def transform_params(params: GaussianParams, m: np.ndarray) -> GaussianParams:
     from divshot_tpu.edit.ops import _rotmat_to_quat_np
     rq = jnp.asarray(
         np.tile(_rotmat_to_quat_np(Rm), (params.capacity, 1)), jnp.float32)
-    means = jnp.einsum("ij,nj->ni", jnp.asarray(m[:3, :3], jnp.float32),
-                       params.means, precision="highest") \
+    from divshot_tpu.splat.math import matvec3
+    means = matvec3(jnp.asarray(m[:3, :3], jnp.float32), params.means) \
         + jnp.asarray(m[:3, 3], jnp.float32)
     shN = params.shN
     if shN.shape[1]:
@@ -53,7 +53,8 @@ def _depth_image(params, camera, **rk):
     """Alpha-normalized composite of camera-space depth -> grayscale."""
     Rv = camera.viewmat[:3, :3]
     tz = camera.viewmat[2, 3]
-    z = jnp.einsum("nj,j->n", params.means, Rv[2]) + tz
+    from divshot_tpu.splat.math import dot3
+    z = dot3(Rv[2], params.means) + tz
     aux = jnp.tile(z[:, None], (1, 3))
     out = render(params, camera, override_colors=aux, **rk)
     alpha = jnp.maximum(out.alpha, 1e-6)

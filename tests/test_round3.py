@@ -82,3 +82,103 @@ def test_trainer_prune_interval_changes_behavior():
     base = run(prune_interval=0)
     pruned = run(prune_interval=2)
     assert pruned < base
+
+
+def test_init_scales_match_knn_spacing():
+    """init_from_points scales come from true kNN distances (regression:
+    a swapped (distance, index) unpack once produced log-scales of ~10 —
+    splats thousands of units across — and collapsed training)."""
+    from divshot_tpu.splat.gaussians import init_from_points
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-1.3, 1.3, (5000, 3)).astype(np.float32)
+    cols = rng.uniform(0, 1, (5000, 3)).astype(np.float32)
+    p = init_from_points(pts, cols, sh_degree=1)
+    s = np.asarray(p.scales)[np.asarray(p.alive)]
+    # 5000 uniform points in a 2.6-cube: spacing ~0.1; all scales must be
+    # well under one scene unit and above float noise
+    assert s.max() < 0.0, s.max()
+    assert s.min() > np.log(1e-4), s.min()
+
+
+def test_mcmc_relocation_stable_at_large_n():
+    """The tabulated relocation denominator must stay sane for every
+    (alpha, N) — the closed-form alternating sum is catastrophically
+    unstable in f32 at N ≳ 20 (regression for the round-3 collapse)."""
+    from divshot_tpu.train.strategy import _relocation_rescale
+    alphas = np.linspace(1e-4, 1 - 1e-4, 101).astype(np.float32)
+    logits = np.log(alphas) - np.log1p(-alphas)
+    scales = np.zeros((101, 3), np.float32)
+    for n in (1, 7, 23, 37, 51):
+        o_new, s_new = _relocation_rescale(
+            jnp.asarray(logits), jnp.asarray(scales),
+            jnp.full((101,), n, jnp.int32))
+        o_new, s_new = np.asarray(o_new), np.asarray(s_new)
+        assert np.isfinite(o_new).all() and np.isfinite(s_new).all()
+        # splitting never grows a splat, and never shrinks it to nothing
+        assert (s_new <= 1e-6).all(), (n, s_new.max())
+        assert (s_new > np.log(1e-3)).all(), (n, s_new.min())
+        if n == 1:
+            np.testing.assert_array_equal(s_new, scales)
+            np.testing.assert_array_equal(o_new, logits)
+
+
+def test_pack_level_bf16_training():
+    """packLevel bit 1: SH-band buffers + Adam moments go bf16; training
+    still converges to within a whisker of the f32 run."""
+    from divshot_tpu.train.trainer import Trainer, Dataset
+    from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras, \
+        render_gt_images
+
+    rng = np.random.default_rng(0)
+    gt = random_scene(rng, 192, sh_degree=1)
+    cams = orbit_cameras(3, width=48)
+    images = render_gt_images(gt, cams, backend="tiles")
+    ds = Dataset.from_views(cams, images)
+
+    def run(pack):
+        cfg = TrainConfig(sh_degree=1, num_iters=40)
+        cfg.pack_level = pack
+        cfg.densify.cap_max = 256
+        cfg.densify.warmup_length = 1000
+        params = random_scene(np.random.default_rng(1), 256, sh_degree=1,
+                              capacity=256)
+        tr = Trainer(cfg, ds, params)
+        for _ in range(40):
+            m = tr.step_once()
+        return tr, float(m["loss"])
+
+    tr0, l0 = run(0)
+    tr1, l1 = run(1)
+    assert tr1.state.params.shN.dtype == jnp.bfloat16
+    assert tr1.state.opt.mu["shN"].dtype == jnp.bfloat16
+    assert tr0.state.params.shN.dtype == jnp.float32
+    # both converge; packed run within 20% of f32 loss after 40 steps
+    assert l1 < 0.9 * 0.6 and abs(l1 - l0) / max(l0, 1e-6) < 0.2, (l0, l1)
+    # exports stay f32 regardless of packing
+    assert tr1.state.params.compact_numpy()["shN"].dtype == np.float32
+
+
+def test_pack_level_auto_raise():
+    """The reference VRAM guard raises packLevel when buffers would exceed
+    half of device memory (editor.cpp:1577-1582)."""
+    from divshot_tpu.train import trainer as TR
+
+    orig = TR._device_memory_bytes
+    TR._device_memory_bytes = lambda: 200 * 236 * 10  # tiny fake HBM
+    try:
+        from divshot_tpu.train.trainer import Trainer, Dataset
+        from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras, \
+            render_gt_images
+        rng = np.random.default_rng(0)
+        gt = random_scene(rng, 64, sh_degree=1)
+        cams = orbit_cameras(2, width=32)
+        images = render_gt_images(gt, cams, backend="tiles")
+        ds = Dataset.from_views(cams, images)
+        cfg = TrainConfig(sh_degree=1, num_iters=2)
+        cfg.densify.cap_max = 256
+        params = random_scene(rng, 256, sh_degree=1, capacity=256)
+        tr = Trainer(cfg, ds, params)
+        assert tr.pack_level & 1
+        assert tr.state.params.shN.dtype == jnp.bfloat16
+    finally:
+        TR._device_memory_bytes = orig

@@ -98,3 +98,51 @@ def test_step_timer():
             _ = sum(range(1000))
     s = t.summary()
     assert "step" in s and s["step"]["count"] == 1
+
+
+def test_live_viewer_server():
+    """LiveViewerServer over a training TrainerSession: page, status JSON,
+    and .splat payload respond; generation advances with snapshots."""
+    import json
+    import urllib.request
+
+    import numpy as np
+    from divshot_tpu.core.config import TrainConfig
+    from divshot_tpu.train.session import TrainerSession
+    from divshot_tpu.train.trainer import Dataset
+    from divshot_tpu.gsio.synthetic import (
+        random_scene, orbit_cameras, render_gt_images)
+    from divshot_tpu.viewer.live import LiveViewerServer
+
+    rng = np.random.default_rng(0)
+    gt = random_scene(rng, 128, sh_degree=0)
+    cams = orbit_cameras(2, width=32)
+    images = render_gt_images(gt, cams, backend="tiles")
+    cfg = TrainConfig(sh_degree=0, num_iters=6)
+    cfg.densify.cap_max = 128
+    session = TrainerSession(cfg, render_kwargs={"backend": "tiles"},
+                             snapshot_every=2)
+    session.load_synthetic(Dataset.from_views(cams, images),
+                           params=random_scene(rng, 128, sh_degree=0,
+                                               capacity=128))
+    server = LiveViewerServer(session, port=0).start()
+    try:
+        base = f"http://127.0.0.1:{server.port}"
+        page = urllib.request.urlopen(f"{base}/").read().decode()
+        assert "loadSplatBytes" in page and "fetch('splats')" in page
+
+        st0 = json.loads(urllib.request.urlopen(f"{base}/status").read())
+        assert st0["max_iterations"] == 6
+        gen0 = st0["generation"]
+
+        raw = urllib.request.urlopen(f"{base}/splats").read()
+        assert len(raw) % 32 == 0 and len(raw) // 32 == 128
+
+        session.start_train()
+        session.terminate(join=True)
+        st1 = json.loads(urllib.request.urlopen(f"{base}/status").read())
+        assert st1["generation"] > gen0
+        raw1 = urllib.request.urlopen(f"{base}/splats").read()
+        assert len(raw1) % 32 == 0 and len(raw1) > 0
+    finally:
+        server.stop()
