@@ -213,6 +213,7 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         "noiselr": "densify.noise_lr",
         "ssim_weight": "ssim_weight",
         "mip_antialiased": "raster.mip_antialiased",
+        "instance_capacity_mult": "raster.instance_capacity_mult",
         "normal_consistency_loss": "normal_consistency_loss",
         "dist_loss_weight": "dist_loss_weight",
         "model_type": "model_type",

@@ -370,3 +370,50 @@ class EditSession:
 
 def _rotmat_to_quat_np(R: np.ndarray) -> np.ndarray:
     return np.asarray(rotmat_to_quat(jnp.asarray(R, jnp.float32)))
+
+
+# -- deferred transforms (SplatTransformPalette) --------------------------
+# splat_transform_palette.h:13-39 — a u16-indexed palette of transforms so
+# the editor can move splat groups without rewriting the model each frame.
+
+
+def _session_palette(session: EditSession):
+    if not hasattr(session, "_palette") or session._palette is None:
+        from divshot_tpu.splat.transform_palette import SplatTransformPalette
+        session._palette = SplatTransformPalette(session.params.capacity)
+    return session._palette
+
+
+def palette_transform_selected(session: EditSession,
+                               matrix: np.ndarray) -> int:
+    """Assign the selected splats a DEFERRED palette transform (they render
+    through it; the model stays unbaked). -> palette slot."""
+    pal = _session_palette(session)
+    slot = pal.add(matrix)
+    pal.assign(session.selected, slot)
+    return slot
+
+
+def effective_params(session: EditSession):
+    """Render-time view of the session params: palette transforms applied
+    on the fly (identity-cost when the palette is empty)."""
+    pal = getattr(session, "_palette", None)
+    if pal is None or pal.num_entries == 1:
+        return session.params
+    return pal.apply(session.params)
+
+
+def bake_palette(session: EditSession) -> None:
+    """Flatten the palette into the model (undoable)."""
+    pal = getattr(session, "_palette", None)
+    if pal is None or pal.num_entries == 1:
+        return
+    old = session.params
+    old_pal = (list(pal.matrices), pal.indices)
+
+    def restore(s, o=old, op=old_pal):
+        s.params = o
+        p = _session_palette(s)
+        p.matrices, p.indices = list(op[0]), op[1]
+    session._push_undo("bake palette", restore)
+    session.params = pal.bake(old)

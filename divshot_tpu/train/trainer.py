@@ -71,7 +71,11 @@ class Dataset:
                    points=None, colors=None, stream: bool = False,
                    masks=None, **kw) -> "Dataset":
         camb = batch_cameras(cams)
-        centers = np.stack([np.asarray(c.campos) for c in cams])
+        # one batched host transfer (a per-camera ``np.asarray(c.campos)``
+        # loop costs a device round-trip each — minutes behind a busy
+        # remote-compile queue)
+        vms = np.asarray(jnp.stack([c.viewmat for c in cams]))
+        centers = -np.einsum("nij,ni->nj", vms[:, :3, :3], vms[:, :3, 3])
         center = centers.mean(0)
         extent = float(np.linalg.norm(centers - center, axis=1).max()) * 1.1
         if images.dtype != np.uint8:

@@ -158,3 +158,57 @@ def render_scene(scene: Scene, camera: Camera, **rk) -> np.ndarray:
     for _dist, img, alpha in sorted(layers, key=lambda t: -t[0]):
         out = img + (1.0 - alpha[..., None]) * out
     return out
+
+
+# -- selection overlays ------------------------------------------------------
+# gsplat_vs.hlsl:362-369: selected splats tint toward the highlight color
+# in-shader; the editor draws an outline pass around the selection.
+
+
+SELECT_TINT = np.asarray([1.0, 0.45, 0.05], np.float32)   # editor orange
+
+
+def render_with_selection(params: GaussianParams, camera: Camera,
+                          selected: jnp.ndarray, *,
+                          tint_strength: float = 0.55,
+                          **rk) -> tuple[jax.Array, jax.Array]:
+    """Splat render with selected splats tinted toward the highlight color
+    (per-splat color override through the shared compositor — the in-shader
+    ``selected ? lerp(color, tint)`` of the reference)."""
+    from divshot_tpu.splat.sh import eval_sh_color
+    from divshot_tpu.splat.math import safe_normalize
+
+    dirs = safe_normalize(params.means - camera.campos[None, :])
+    colors = eval_sh_color(params.sh0, params.shN, dirs,
+                           rk.pop("sh_degree", params.sh_degree))
+    tint = jnp.asarray(SELECT_TINT)
+    colors = jnp.where(selected[:, None],
+                       (1 - tint_strength) * colors + tint_strength * tint,
+                       colors)
+    out = render(params, camera, override_colors=colors, **rk)
+    return out.image, out.alpha
+
+
+def selection_outline(params: GaussianParams, camera: Camera,
+                      selected: jnp.ndarray, *,
+                      thickness: int = 2, **rk) -> jax.Array:
+    """(H, W) outline mask of the selection silhouette: render the selected
+    subset's alpha, threshold, and take the morphological edge (dilate —
+    erode) — the editor's outline pass."""
+    sub = params.replace(alive=params.alive & selected)
+    out = render(sub, camera, **rk)
+    hard = (out.alpha > 0.35).astype(jnp.float32)[None, :, :, None]
+    k = 2 * thickness + 1
+    window = (1, k, k, 1)
+    dil = jax.lax.reduce_window(hard, -jnp.inf, jax.lax.max, window,
+                                (1, 1, 1, 1), "SAME")
+    ero = -jax.lax.reduce_window(-hard, -jnp.inf, jax.lax.max, window,
+                                 (1, 1, 1, 1), "SAME")
+    return (dil - ero)[0, :, :, 0]
+
+
+def composite_outline(image: jax.Array, outline: jax.Array,
+                      color=(1.0, 0.6, 0.1)) -> jax.Array:
+    """Draw the outline mask over an image."""
+    c = jnp.asarray(color, jnp.float32)
+    return image * (1.0 - outline[..., None]) + outline[..., None] * c

@@ -118,3 +118,49 @@ def test_pick(rng):
     assert got >= 0
     gp = np.asarray(proj[got])
     assert np.hypot(gp[0] - proj[i, 0], gp[1] - proj[i, 1]) < 12
+
+
+def test_transform_palette_deferred_matches_bake():
+    """Palette-deferred transforms render identically to an eager bake
+    (splat_transform_palette.h semantics) and flatten correctly."""
+    import numpy as np
+    import jax.numpy as jnp
+    from divshot_tpu.edit import ops as E
+    from divshot_tpu.gsio.synthetic import random_scene
+
+    rng = np.random.default_rng(3)
+    params = random_scene(rng, 64, sh_degree=2)
+    s1 = E.EditSession(params=params)
+    s2 = E.EditSession(params=params)
+    # select the first half
+    mask = jnp.arange(params.capacity) < 32
+    s1._set_selected_bit(mask, "sel")
+    s2._set_selected_bit(mask, "sel")
+
+    ang = 0.7
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = np.array([[np.cos(ang), -np.sin(ang), 0],
+                          [np.sin(ang), np.cos(ang), 0],
+                          [0, 0, 1]], np.float32) * 1.3
+    m[:3, 3] = [0.2, -0.1, 0.05]
+
+    slot = E.palette_transform_selected(s1, m)
+    assert slot == 1
+    s2.transform_selected(m)
+
+    eff = E.effective_params(s1)
+    for f in ("means", "quats", "scales", "shN"):
+        np.testing.assert_allclose(np.asarray(getattr(eff, f)),
+                                   np.asarray(getattr(s2.params, f)),
+                                   atol=2e-5, err_msg=f)
+    # unselected splats untouched
+    np.testing.assert_array_equal(np.asarray(eff.means)[32:],
+                                  np.asarray(params.means)[32:])
+    # bake flattens and is undoable
+    E.bake_palette(s1)
+    np.testing.assert_allclose(np.asarray(s1.params.means),
+                               np.asarray(s2.params.means), atol=2e-5)
+    assert E._session_palette(s1).num_entries == 1
+    s1.undo()
+    np.testing.assert_array_equal(np.asarray(s1.params.means),
+                                  np.asarray(params.means))

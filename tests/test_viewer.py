@@ -146,3 +146,83 @@ def test_live_viewer_server():
         assert len(raw1) % 32 == 0 and len(raw1) > 0
     finally:
         server.stop()
+
+
+def test_selection_tint_and_outline():
+    """Selected splats tint toward the highlight color; the outline pass
+    produces a closed edge around the selection silhouette."""
+    import numpy as np
+    import jax.numpy as jnp
+    from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras
+    from divshot_tpu.viewer.scene_render import (
+        render_with_selection, selection_outline, composite_outline)
+
+    rng = np.random.default_rng(0)
+    params = random_scene(rng, 120, sh_degree=0)
+    cam = orbit_cameras(1, width=64)[0]
+    sel = jnp.arange(params.capacity) < 60
+
+    rgb_sel, _ = render_with_selection(params, cam, sel, backend="tiles")
+    rgb_none, _ = render_with_selection(
+        params, cam, jnp.zeros_like(sel), backend="tiles")
+    diff = np.abs(np.asarray(rgb_sel) - np.asarray(rgb_none)).max()
+    assert diff > 0.05  # tint visibly changes the image
+
+    ol = np.asarray(selection_outline(params, cam, sel, backend="tiles"))
+    assert ol.shape == (64, 64) and 0 < ol.sum() < 64 * 64 * 0.5
+    out = composite_outline(rgb_none, jnp.asarray(ol))
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_settings_store(tmp_path):
+    from divshot_tpu.core.settings import SettingsStore
+
+    p = str(tmp_path / "cfg" / "editor.ini")
+    s = SettingsStore(p)
+    s.set("window", "width", 1920)
+    s.set("window", "vsync", True)
+    s.set("paths", "last_scene", "/data/lego")
+    # reload from disk
+    s2 = SettingsStore(p)
+    assert s2.get("window", "width", 0) == 1920
+    assert s2.get("window", "vsync", False) is True
+    assert s2.get("paths", "last_scene", "") == "/data/lego"
+    assert s2.get("window", "missing", 7) == 7
+    s2.remove("window", "vsync")
+    assert SettingsStore(p).get("window", "vsync", False) is False
+
+
+def test_post_stack():
+    """Tonemap operators, TAA accumulation (edge AA effect), sharpen."""
+    import numpy as np
+    import jax.numpy as jnp
+    from divshot_tpu.viewer import post as P
+    from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras
+    from divshot_tpu.raster.render import render
+
+    img = jnp.asarray(np.random.default_rng(0).uniform(0, 4, (16, 16, 3)),
+                      jnp.float32)
+    for op in ("linear", "reinhard", "aces"):
+        out = np.asarray(P.apply_tonemap(img, op, exposure=0.5, gamma=2.2))
+        assert out.min() >= 0 and out.max() <= 1 + 1e-6, op
+    # reinhard preserves order
+    a = float(P.tonemap_reinhard(jnp.asarray(0.3)))
+    b = float(P.tonemap_reinhard(jnp.asarray(2.0)))
+    assert a < b
+
+    rng = np.random.default_rng(1)
+    params = random_scene(rng, 80, sh_degree=0)
+    cam = orbit_cameras(1, width=48)[0]
+
+    taa = P.render_taa(
+        lambda c: render(params, c, backend="tiles").image, cam, n_frames=4)
+    single = render(params, cam, backend="tiles").image
+    assert np.isfinite(np.asarray(taa)).all()
+    assert np.abs(np.asarray(taa) - np.asarray(single)).max() > 1e-4
+
+    hist = P.taa_blend(single, taa, alpha=0.2)
+    assert np.isfinite(np.asarray(hist)).all()
+
+    sh = P.post_process(jnp.clip(single, 0, 1), tonemap="aces",
+                        sharpen_amount=0.3)
+    assert np.asarray(sh).shape == (48, 48, 3)
