@@ -29,6 +29,10 @@ class Projection(NamedTuple):
     radii: jax.Array     # (N,) conservative pixel radius (0 = culled)
     comp: jax.Array      # (N,) AA opacity compensation factor (1 if off)
     cov2d: jax.Array     # (N, 3) dilated 2D covariance (xx, xy, yy)
+    # tight-binning extras (None when ``opacities`` not given):
+    radii_xy: jax.Array | None = None  # (N, 2) ellipse AABB half-extents
+    rad2: jax.Array | None = None      # (N,) squared circum-radius of the
+                                       # alpha >= 1/255 ellipse (un-ceiled)
 
 
 def project_gaussians(
@@ -44,6 +48,8 @@ def project_gaussians(
     fov_clamp: tuple | None = None,   # (tan_fovx, tan_fovy) override —
                                       # band/sub-viewport rendering keeps
                                       # the FULL frame's EWA clamp
+    opacities: jax.Array | None = None,  # (N,) effective opacity: enables
+                                      # opacity-aware tight extents
 ) -> Projection:
     viewmat = camera.viewmat
     R = viewmat[:3, :3]
@@ -95,11 +101,29 @@ def project_gaussians(
     conic_b = -cxy * inv_det
     conic_c = cxx_d * inv_det
 
-    # conservative radius: 3 sigma of the major eigenvalue
+    # conservative radius: coeff * sigma of the major eigenvalue. Without
+    # opacity the classic 3-sigma; with opacity the EXACT alpha >= 1/255
+    # level set {0.5 d^T conic d <= L}, L = ln(255*op_eff), capped at 3 —
+    # strictly shrinking, so the compositor's own alpha cull guarantees an
+    # identical image while low-opacity splats emit far fewer instances.
     mid = 0.5 * (cxx_d + cyy_d)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
     lambda1 = mid + disc
-    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    if opacities is not None:
+        op_eff = opacities * comp
+        L = jnp.log(jnp.maximum(op_eff, 1e-12) * 255.0)
+        coeff = jnp.minimum(3.0, jnp.sqrt(2.0 * jnp.maximum(L, 0.0)))
+        op_ok = L > 0.0
+    else:
+        coeff = 3.0
+        op_ok = True
+    rad2 = coeff * coeff * jnp.maximum(lambda1, 0.0)
+    radius = jnp.ceil(jnp.sqrt(rad2))
+    # ellipse AABB half-extents: the level set's x-extent is
+    # sqrt(2L*cov_xx) = coeff*sqrt(cov_xx) — much tighter than the
+    # circum-radius square for anisotropic splats
+    rx = jnp.ceil(coeff * jnp.sqrt(jnp.maximum(cxx_d, 0.0)))
+    ry = jnp.ceil(coeff * jnp.sqrt(jnp.maximum(cyy_d, 0.0)))
 
     # pixel-space center
     u = fx * p_view[..., 0] * rz + camera.cx
@@ -107,11 +131,12 @@ def project_gaussians(
 
     # cull: behind near plane, beyond far, degenerate cov, or fully offscreen
     W, H = camera.width, camera.height
-    valid = (z > near) & (z < far) & (det > 0)
+    valid = (z > near) & (z < far) & (det > 0) & op_ok
     inside = (
-        (u + radius > 0) & (u - radius < W) & (v + radius > 0) & (v - radius < H)
+        (u + rx > 0) & (u - rx < W) & (v + ry > 0) & (v - ry < H)
     )
-    radii = jnp.where(valid & inside, radius, 0.0)
+    keep = valid & inside
+    radii = jnp.where(keep, radius, 0.0)
 
     return Projection(
         means2d=jnp.stack([u, v], -1),
@@ -120,4 +145,6 @@ def project_gaussians(
         radii=radii,
         comp=comp,
         cov2d=jnp.stack([cxx_d, cxy, cyy_d], -1),
+        radii_xy=jnp.where(keep[:, None], jnp.stack([rx, ry], -1), 0.0),
+        rad2=rad2,
     )

@@ -66,6 +66,7 @@ def render(
     extra_colors: jax.Array | None = None,
     cull_sh_radius: float = 0.0,
     fov_clamp: tuple | None = None,
+    with_absgrad: bool = True,
 ) -> RenderOutput:
     """``absgrad_sink`` / ``means2d_sink`` are zero (N, 2) inputs whose
     cotangents harvest the AbsGS absolute and the signed screen-space
@@ -116,6 +117,7 @@ def render(
     proj = project_gaussians(
         params.means, params.scales, params.quats, camera,
         eps2d=eps2d, antialiased=antialiased, fov_clamp=fov_clamp,
+        opacities=jax.lax.stop_gradient(params.effective_opacity()),
     )
     if radius_clip > 0.0:
         # radiusClip: cull splats whose projected radius is below the
@@ -167,6 +169,8 @@ def render(
         instance_capacity=instance_capacity,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         build_ids_mat=(backend != "pallas"),
+        radii_xy=jax.lax.stop_gradient(proj.radii_xy),
+        rad2=jax.lax.stop_gradient(proj.rad2),
     )
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((params.capacity, 2), jnp.float32)
@@ -183,7 +187,8 @@ def render(
             means2d, proj.conics, cols, opac, bins,
             width=camera.width, height=camera.height, tile_size=tile_size,
             background=background, absgrad_sink=absgrad_sink,
-            npix_sink=npix_sink, t_eps=t_eps, interpret=interp)
+            npix_sink=npix_sink, t_eps=t_eps, interpret=interp,
+            with_absgrad=with_absgrad)
         extra = None
         if extra_colors is not None:
             img, extra = img[..., :3], img[..., 3:]

@@ -75,6 +75,11 @@ def bin_gaussians(
     instance_capacity: int = 1 << 20,
     max_tiles_per_gaussian: int = 64,
     build_ids_mat: bool = True,
+    guard_lanes: int = 2048,
+    radii_xy: jax.Array | None = None,  # (N, 2) per-axis AABB half-extents
+    rad2: jax.Array | None = None,      # (N,) squared circum-radius of the
+                                        # alpha >= 1/255 ellipse: enables the
+                                        # per-(instance, tile) corner cull
 ) -> TileBins:
     """Expand gaussians into depth-sorted per-tile instance lists.
 
@@ -94,10 +99,15 @@ def bin_gaussians(
 
     visible = radii > 0
     u, v = means2d[:, 0], means2d[:, 1]
-    tmin_x = jnp.clip(jnp.floor((u - radii) / tile_size), 0, tw).astype(jnp.int32)
-    tmax_x = jnp.clip(jnp.ceil((u + radii) / tile_size), 0, tw).astype(jnp.int32)
-    tmin_y = jnp.clip(jnp.floor((v - radii) / tile_size), 0, th).astype(jnp.int32)
-    tmax_y = jnp.clip(jnp.ceil((v + radii) / tile_size), 0, th).astype(jnp.int32)
+    # per-axis AABB: the ellipse's axis extents are far tighter than the
+    # circum-radius square for anisotropic splats (identical image — the
+    # compositor culls alpha < 1/255 anyway)
+    rx = radii_xy[:, 0] if radii_xy is not None else radii
+    ry = radii_xy[:, 1] if radii_xy is not None else radii
+    tmin_x = jnp.clip(jnp.floor((u - rx) / tile_size), 0, tw).astype(jnp.int32)
+    tmax_x = jnp.clip(jnp.ceil((u + rx) / tile_size), 0, tw).astype(jnp.int32)
+    tmin_y = jnp.clip(jnp.floor((v - ry) / tile_size), 0, th).astype(jnp.int32)
+    tmax_y = jnp.clip(jnp.ceil((v + ry) / tile_size), 0, th).astype(jnp.int32)
     nx = tmax_x - tmin_x
     ny = tmax_y - tmin_y
     counts = jnp.minimum(jnp.where(visible, nx * ny, 0), mt)
@@ -156,6 +166,20 @@ def bin_gaussians(
     tile = tmin_i + jy * tw + jx
 
     real = (owner >= 0) & (j < cnt_i)
+    if rad2 is not None:
+        # corner cull: drop (instance, tile) pairs whose closest rect point
+        # is outside the alpha >= 1/255 circum-radius. Exact lower bound
+        # 0.5*d^T conic d >= 0.5*dist^2/lambda1, so a culled pair can never
+        # contribute alpha >= 1/255 — image identical, instances fewer.
+        packed = jnp.stack([u, v, rad2], axis=1)            # (N, 3)
+        gi = jnp.take(packed, jnp.clip(owner, 0, n - 1), axis=0)
+        ttx = (tile % tw).astype(jnp.float32) * tile_size
+        tty = (tile // tw).astype(jnp.float32) * tile_size
+        dx = jnp.maximum(jnp.maximum(ttx - gi[:, 0],
+                                     gi[:, 0] - (ttx + tile_size)), 0.0)
+        dy = jnp.maximum(jnp.maximum(tty - gi[:, 1],
+                                     gi[:, 1] - (tty + tile_size)), 0.0)
+        real = real & (dx * dx + dy * dy <= gi[:, 2])
     key = jnp.where(
         real,
         (tile.astype(jnp.uint32) << depth_bits)
@@ -172,8 +196,15 @@ def bin_gaussians(
     _, exp2sorted = jax.lax.sort((s_exp, iota), num_keys=1)
 
     # --- per-tile ranges (tile_start[T] == total real instances) ---
+    # The trailing ``guard_lanes`` of the capacity are a guard band: the
+    # Pallas kernels DMA G-block mega-chunks, so a tile range must never
+    # start closer than one mega-chunk to the end of the table. In the
+    # overflow regime (demand ~ capacity, already lossy + warned) this
+    # drops at most guard_lanes extra instances.
     tile_bounds = jnp.searchsorted(
         s_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(jnp.int32)
+    tile_bounds = jnp.minimum(tile_bounds,
+                              max(cap - guard_lanes, cap // 2))
     tile_start = tile_bounds[:num_tiles]
     tile_counts = tile_bounds[1:] - tile_start
 

@@ -162,6 +162,11 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         max_tiles_per_gaussian=rcfg.max_instances_per_gaussian,
         instance_capacity_mult=rcfg.instance_capacity_mult,
         cull_sh_radius=3.0 if cfg.cull_sh else 0.0,
+        # AbsGS |du|/|dv| rows cost ~8 extra VPU ops per (pixel, instance)
+        # in the Pallas backward; only ADC-family strategies with
+        # useAbsGrad consume them (MCMC densifies by opacity sampling)
+        with_absgrad=bool(cfg.densify.use_abs_grad
+                          and cfg.densify.strategy != 1),
     )
     if render_kwargs:
         rk.update(render_kwargs)
