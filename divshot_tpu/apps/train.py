@@ -110,6 +110,13 @@ def main(argv=None):
                "instance_capacity": trainer._instance_capacity,
                "antialiased": cfg.raster.mip_antialiased}
     eval_curve: list[dict] = []
+    # on resume, keep the earlier curve entries (the eval history is the
+    # quality record — never drop it)
+    _curve_path = os.path.join(model_path, "eval_curve.json")
+    if start > 0 and os.path.exists(_curve_path):
+        import json as _json
+        with open(_curve_path) as f:
+            eval_curve = [e for e in _json.load(f) if e["step"] <= start]
 
     def run_eval(step):
         if eval_ds is None:
