@@ -126,6 +126,8 @@ def main(argv=None):
         entry = {"step": step, "psnr": ev["psnr"], "ssim": ev["ssim"],
                  "num_alive": int(np.asarray(jnp.sum(
                      trainer.state.params.alive.astype(jnp.int32))))}
+        if "lpips" in ev:
+            entry["lpips"] = ev["lpips"]
         eval_curve.append(entry)
         metrics_csv.write(step, {"eval_psnr": ev["psnr"],
                                  "eval_ssim": ev["ssim"]})

@@ -140,6 +140,8 @@ class TrainConfig:
 
     # output
     checkpoint_every: int = 10_000
+    load_itr: int = -1          # checkpoint resume: -1 off, -2 latest, N
+                                # (reference --load_itr, gs_train.cpp:47)
     export_mesh: bool = False
     mesh_resolution: int = 256
     cull_sh: bool = False
@@ -198,7 +200,8 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
     # reference CLI aliases -> our fields
     alias = {
         "source_path": "source_path", "model_path": "model_path",
-        "iterations": "num_iters", "cap_max": "densify.cap_max",
+        "iterations": "num_iters", "num_iters": "num_iters",
+        "cap_max": "densify.cap_max",
         "densify_strategy": "densify.strategy",
         "refine_every": "densify.refine_every",
         "warmup_length": "densify.warmup_length",
@@ -258,7 +261,7 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
                            default=None)
         else:
             p.add_argument(f"--{flag}", type=t, default=None)
-    p.add_argument("--load_itr", type=int, default=-1)
+    p.add_argument("--load_itr", type=int, default=None)
     ns, _unknown = p.parse_known_args(argv)
 
     def set_nested(obj, path, value):
@@ -272,5 +275,6 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         v = getattr(ns, flag)
         if v is not None:
             cfg = set_nested(cfg, path, v)
-    cfg.load_itr = ns.load_itr  # type: ignore[attr-defined]
+    if ns.load_itr is not None:
+        cfg = dataclasses.replace(cfg, load_itr=ns.load_itr)
     return cfg

@@ -164,7 +164,12 @@ def make_dynamic_train_step(cfg, dataset, net: nn.Module,
     from divshot_tpu.train import strategy as S
     from divshot_tpu.train.trainer import sh_band_mask
 
-    rk = dict(backend="tiles")
+    # production kernels on TPU, XLA tile rasterizer elsewhere — same
+    # platform dispatch as the static trainer (trainer.py make_train_step)
+    rk = dict(backend="pallas" if jax.default_backend() == "tpu"
+              else "tiles",
+              with_absgrad=bool(cfg.densify.use_abs_grad
+                                and cfg.densify.strategy != 1))
     if render_kwargs:
         rk.update(render_kwargs)
     extent = dataset.scene_extent
@@ -190,7 +195,7 @@ def make_dynamic_train_step(cfg, dataset, net: nn.Module,
         gt = dataset.images[view_idx].astype(jnp.float32) / 255.0
         t = times[view_idx]
 
-        key, k_refine = jax.random.split(state.key)
+        key, k_refine, k_noise = jax.random.split(state.key, 3)
         step = state.opt.step
         deg = jnp.minimum(step // cfg.sh_degree_interval, cfg.sh_degree)
         shmask = sh_band_mask(state.params.shN.shape[1], deg)
@@ -237,6 +242,20 @@ def make_dynamic_train_step(cfg, dataset, net: nn.Module,
             do_refine,
             lambda a: S.refine(dcfg, a[0], a[1], a[2], k_refine, step, extent),
             lambda a: a, (params, opt, dstate))
+
+        # strategy branches mirror the static trainer: MCMC explores with
+        # covariance-shaped noise each step; ADC periodically resets alpha
+        from divshot_tpu.core.config import DensifyStrategy as _DS
+        if dcfg.strategy == _DS.MCMC:
+            params = S.mcmc_noise(dcfg, cfg.optim, params, k_noise, step,
+                                  extent)
+        else:
+            do_reset = (in_window & (step % dcfg.reset_alpha_every == 0)
+                        & (step > 0))
+            params, opt = jax.lax.cond(
+                do_reset,
+                lambda a: S.alpha_reset(dcfg, a[0], a[1]),
+                lambda a: a, (params, opt))
 
         metrics = {"loss": loss, "psnr": psnr(img, gt),
                    "num_alive": jnp.sum(params.alive.astype(jnp.int32))}

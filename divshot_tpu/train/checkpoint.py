@@ -35,10 +35,12 @@ def _strip_empty(tree):
 
 
 def _merge_template(restored, template):
-    return jax.tree.map(
-        lambda r, t: jax.numpy.asarray(t) if r is None
-        else jax.numpy.asarray(r),
-        restored, template, is_leaf=lambda x: x is None)
+    def merge(r, t):
+        if r is None and t is None:
+            return None          # genuinely-empty field on both sides
+        return jax.numpy.asarray(t if r is None else r)
+    return jax.tree.map(merge, restored, template,
+                        is_leaf=lambda x: x is None)
 
 
 def save_checkpoint(model_path: str, state: TrainState, *, step: int,

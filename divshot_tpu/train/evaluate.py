@@ -29,12 +29,16 @@ def _metric_fn(rk_key: tuple, rk: dict[str, Any], with_bg: bool):
     """One compiled (params, cam, gt, bg) -> (psnr, ssim) per kwargs set."""
     if rk_key not in _METRIC_CACHE:
 
+        from divshot_tpu.train.lpips import default_lpips
+        lp = default_lpips()
+
         @jax.jit
         def _metrics(params, cam, gt, background):
             out = render(params, cam,
                          background=background if with_bg else None, **rk)
             img = out.image
-            return psnr(img, gt), ssim(img, gt)
+            lpips = lp(img, gt) if lp is not None else jnp.float32(-1.0)
+            return psnr(img, gt), ssim(img, gt), lpips
 
         _METRIC_CACHE[rk_key] = _metrics
     return _METRIC_CACHE[rk_key]
@@ -53,7 +57,7 @@ def evaluate(params, eval_ds, *, render_kwargs: dict[str, Any] | None = None,
         else jnp.zeros((3,), jnp.float32)
     n = eval_ds.num_views if max_views is None \
         else min(max_views, eval_ds.num_views)
-    psnrs, ssims = [], []
+    psnrs, ssims, lpipss = [], [], []
     t0 = time.perf_counter()
     for i in range(n):
         cam = jax.tree.map(lambda x: x[i], eval_ds.cameras)
@@ -63,10 +67,15 @@ def evaluate(params, eval_ds, *, render_kwargs: dict[str, Any] | None = None,
         if isinstance(gt, np.ndarray):
             gt = jnp.asarray(gt)
         gt = gt.astype(jnp.float32) / 255.0
-        p, s = fn(params, cam, gt, bg)
+        p, s, lp = fn(params, cam, gt, bg)
         psnrs.append(float(p))
         ssims.append(float(s))
+        lpipss.append(float(lp))
     dt = time.perf_counter() - t0
-    return {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
-            "n_views": n, "per_view_psnr": psnrs,
-            "views_per_s": n / max(dt, 1e-9)}
+    out = {"psnr": float(np.mean(psnrs)), "ssim": float(np.mean(ssims)),
+           "n_views": n, "per_view_psnr": psnrs,
+           "views_per_s": n / max(dt, 1e-9)}
+    if lpipss and lpipss[0] >= 0.0:
+        # only reported when pretrained weights are available (lpips.py)
+        out["lpips"] = float(np.mean(lpipss))
+    return out
