@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from divshot_tpu.splat.camera import Camera
-from divshot_tpu.splat.math import build_cov3d, matvec3
+from divshot_tpu.splat.math import cov3d_flat, matvec3
 
 
 class Projection(NamedTuple):
@@ -71,17 +71,28 @@ def project_gaussians(
     rz = 1.0 / zc
     rz2 = rz * rz
     # J = [[fx/z, 0, -fx x/z²], [0, fy/z, -fy y/z²]]
-    cov3d = build_cov3d(log_scales, quats)       # (N, 3, 3)
-    V = jnp.einsum("ij,njk,lk->nil", R, cov3d, R,
-                   precision="highest")          # view-space cov (N, 3, 3)
+    # cov3d and the view transform run in FLAT symmetric-component form:
+    # an (N, 3, 3) intermediate pads (3, 3) onto the (4, 128) TPU tile — a
+    # 56.9x memory blowup that OOMs HBM at the reference's 3M capMax
+    # (measured 3 x 5.7 GB in the autodiff graph). Scalar math with the
+    # camera rotation entries as host constants is exact and 100x smaller.
+    c00, c01, c02, c11, c12, c22 = cov3d_flat(log_scales, quats)
+    cm = ((c00, c01, c02), (c01, c11, c12), (c02, c12, c22))
+    # T = R_view @ C  (R entries are per-camera scalars)
+    t_rows = [[sum(R[i, k] * cm[k][j] for k in range(3)) for j in range(3)]
+              for i in range(3)]
+    # V = T @ R_view^T, symmetric — six unique components
+    def v_entry(i, l):
+        return sum(t_rows[i][j] * R[l, j] for j in range(3))
+
+    v00, v01, v02 = v_entry(0, 0), v_entry(0, 1), v_entry(0, 2)
+    v11, v12, v22 = v_entry(1, 1), v_entry(1, 2), v_entry(2, 2)
 
     j00 = fx * rz
     j02 = -fx * tx * rz2
     j11 = fy * rz
     j12 = -fy * ty * rz2
     # cov2d = J V J^T, expanded (J rows: [j00,0,j02], [0,j11,j12])
-    v00, v01, v02 = V[..., 0, 0], V[..., 0, 1], V[..., 0, 2]
-    v11, v12, v22 = V[..., 1, 1], V[..., 1, 2], V[..., 2, 2]
     cxx = j00 * j00 * v00 + 2 * j00 * j02 * v02 + j02 * j02 * v22
     cxy = j00 * j11 * v01 + j00 * j12 * v02 + j02 * j11 * v12 + j02 * j12 * v22
     cyy = j11 * j11 * v11 + 2 * j11 * j12 * v12 + j12 * j12 * v22

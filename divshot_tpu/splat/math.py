@@ -55,14 +55,39 @@ def build_cov3d(log_scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     return jnp.einsum("...ij,...kj->...ik", M, M, precision="highest")
 
 
+def quat_rotmat_components(quats: jnp.ndarray, normalize: bool = True):
+    """(..., 4) wxyz -> the 9 rotation-matrix entries as (...,) arrays
+    (row-major). Scalar-component form: at reference scale a materialized
+    (N, 3, 3) f32 pads (3, 3) -> the (4, 128)-tile on TPU — a 56.9x memory
+    blowup (measured 5.7 GB per intermediate at N = 3M)."""
+    if normalize:
+        s = jnp.sum(quats * quats, axis=-1, keepdims=True)
+        quats = quats / jnp.sqrt(jnp.maximum(s, 1e-12))
+    w, x, y, z = (quats[..., i] for i in range(4))
+    return (1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y),
+            2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x),
+            2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y))
+
+
+def cov3d_flat(log_scales: jnp.ndarray, quats: jnp.ndarray):
+    """cov3D = R S S^T R^T in flat symmetric form: 6 (...,) components
+    (xx, xy, xz, yy, yz, zz) computed scalar-wise — no (N, 3, 3)
+    materialization (see quat_rotmat_components)."""
+    r = quat_rotmat_components(quats)
+    s2 = jnp.exp(2.0 * log_scales)
+    s0, s1, s2_ = s2[..., 0], s2[..., 1], s2[..., 2]
+
+    def dot_rows(a, b):
+        return (r[3 * a] * r[3 * b] * s0 + r[3 * a + 1] * r[3 * b + 1] * s1
+                + r[3 * a + 2] * r[3 * b + 2] * s2_)
+
+    return (dot_rows(0, 0), dot_rows(0, 1), dot_rows(0, 2),
+            dot_rows(1, 1), dot_rows(1, 2), dot_rows(2, 2))
+
+
 def cov3d_packed(log_scales: jnp.ndarray, quats: jnp.ndarray) -> jnp.ndarray:
     """Upper-triangular packing (..., 6): xx, xy, xz, yy, yz, zz."""
-    c = build_cov3d(log_scales, quats)
-    return jnp.stack(
-        [c[..., 0, 0], c[..., 0, 1], c[..., 0, 2],
-         c[..., 1, 1], c[..., 1, 2], c[..., 2, 2]],
-        -1,
-    )
+    return jnp.stack(cov3d_flat(log_scales, quats), -1)
 
 
 def safe_normalize(x: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
