@@ -86,6 +86,10 @@ class RasterConfig:
     eps2d: float = 0.3                # +0.3px low-pass dilation (gsplat_vs.hlsl:304-306)
     max_instances_per_gaussian: int = 64
     instance_capacity_mult: float = 8.0  # instance buffer = mult * capacity
+    auto_instance_capacity: bool = True  # grow + recompile when measured
+                                      # demand nears the buffer (the analog
+                                      # of the reference's VRAM auto-raise,
+                                      # editor.cpp:1577-1582)
     transmittance_min: float = 1e-4   # early-stop threshold
     depth_bits: int = 18              # depth bits in the (tile|depth) sort key
     radius_clip: float = 0.0          # cull splats with radius <= this (px)

@@ -65,6 +65,14 @@ def make_parallel_train_step(cfg: TrainConfig, dataset: Dataset, mesh: Mesh,
                              render_kwargs: dict | None = None):
     """jit-compiled data-parallel train step over the mesh.
 
+    Overlap note (r4, evidence in runs/dist_overlap_note.md): XLA emits ONE
+    bundled gradient all-reduce after the full fused backward; on TPU the
+    async-collective pass can only partially hide it since Adam consumes
+    the grads immediately. The measured-schedule headroom is an early psum
+    of the SH/color grads (final before the projection backward) via
+    explicit shard_map — deferred until multi-chip hardware is available to
+    measure it.
+
     view_idx has shape (B,) with B = mesh data-axis size (or a multiple);
     each chip renders its shard of views, XLA all-reduces the parameter
     gradients over ICI and runs the (model-sharded) Adam update.

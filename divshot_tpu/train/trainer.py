@@ -608,15 +608,30 @@ class Trainer:
                 callback(i, self.state, metrics)
 
     def check_overflow(self, metrics: dict) -> None:
-        """Surface silent capacity overflow (VERDICT weak #1): binning drops
-        instances beyond the static buffers with no other signal."""
+        """Surface silent capacity overflow and, when
+        ``raster.auto_instance_capacity`` is on (default), grow the
+        instance buffer from MEASURED demand and recompile — the analog of
+        the reference's VRAM-pressure auto-raise (``editor.cpp:1577-1582``).
+        Stock configs then train correctly at reference scale without a
+        hand-tuned instance_capacity_mult."""
         ni = int(metrics.get("num_instances", 0))
-        if ni > self._instance_capacity \
-                and not self._warned_instance_overflow:
+        icap = self._instance_capacity
+        auto = self.cfg.raster.auto_instance_capacity
+        if auto and ni > 0.9 * icap:
+            new_cap = 1 << max(int(np.ceil(np.log2(max(ni, 1) * 1.3))),
+                               int(np.log2(icap)) + 1)
+            print(f"[capacity] tile-instance demand {ni} near/over "
+                  f"instance_capacity {icap}: growing to {new_cap}, "
+                  f"recompiling the train step", flush=True)
+            self._render_kwargs = dict(self._render_kwargs or {})
+            self._render_kwargs["instance_capacity"] = new_cap
+            self._build_steps()
+            return
+        if ni > icap and not self._warned_instance_overflow:
             self._warned_instance_overflow = True
             warnings.warn(
                 f"tile-instance demand {ni} exceeds instance_capacity "
-                f"{self._instance_capacity}; excess instances are DROPPED "
+                f"{icap}; excess instances are DROPPED "
                 f"(image corruption). Raise raster.instance_capacity_mult.",
                 RuntimeWarning, stacklevel=2)
         mtc = int(metrics.get("max_tile_count", 0))

@@ -116,3 +116,34 @@ def test_pallas_with_absgrad_off(rng):
         height=res, absgrad_sink=s, interpret=True,
         with_absgrad=False)[0].sum())(sink)
     assert float(jnp.abs(g_sink_off).sum()) == 0.0
+
+
+def test_auto_instance_capacity_grows(rng):
+    """check_overflow must grow the instance buffer from measured demand
+    and rebuild the compiled steps (reference VRAM auto-raise analog,
+    editor.cpp:1577-1582)."""
+    from divshot_tpu.core.config import TrainConfig
+    from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras, \
+        render_gt_images
+    from divshot_tpu.train.trainer import Trainer, Dataset
+
+    nprng = np.random.default_rng(3)
+    gt = random_scene(nprng, 500, sh_degree=0)
+    cams = orbit_cameras(2, width=64, height_px=64)
+    images = render_gt_images(gt, cams, backend="tiles",
+                              instance_capacity=1 << 14)
+    ds = Dataset.from_views(cams, images)
+    params = random_scene(nprng, 500, sh_degree=0, capacity=1024)
+    cfg = TrainConfig(sh_degree=0)
+    cfg.densify.cap_max = 1024
+    tr = Trainer(cfg, ds, params,
+                 render_kwargs={"backend": "tiles",
+                                "instance_capacity": 1 << 14})
+    icap0 = tr._instance_capacity
+    # synthetic demand near the buffer triggers growth + recompile
+    tr.check_overflow({"num_instances": int(icap0 * 0.95)})
+    assert tr._instance_capacity > icap0
+    assert tr._instance_capacity >= int(icap0 * 0.95 * 1.3)
+    # and a real step still runs at the grown capacity
+    m = tr.step_once()
+    assert np.isfinite(float(m["loss"]))
