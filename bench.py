@@ -123,12 +123,14 @@ def bench_train(n_alive, capacity, res_w, res_h, n_views=4, iters=30,
 
 
 def bench_render_fps(n_alive, res_w, res_h, instance_capacity, iters=40):
-    """Forward-only render; frames chain through a running checksum so the
+    """Viewer path FPS: (a) full frame (project + bin + sort + composite),
+    (b) static-scene frame reusing FastBins — the reference viewer's
+    sort-then-raster split. Frames chain through a running checksum so the
     final fetch forces all of them."""
     import jax
     import jax.numpy as jnp
     from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras
-    from divshot_tpu.raster.render import render
+    from divshot_tpu.raster.render import render_fast
 
     rng = np.random.default_rng(0)
     params = random_scene(rng, n_alive, sh_degree=3,
@@ -136,19 +138,32 @@ def bench_render_fps(n_alive, res_w, res_h, instance_capacity, iters=40):
     cam = orbit_cameras(1, width=res_w, height_px=res_h)[0]
 
     @jax.jit
-    def frame(p, salt):
-        img = render(p, cam, backend="pallas",
-                     instance_capacity=instance_capacity).image
+    def frame_full(p, salt):
+        img, _, _ = render_fast(p, cam,
+                                instance_capacity=instance_capacity * 2)
         return img[0, 0, 0] + salt
 
-    acc = frame(params, jnp.float32(0.0))
-    float(acc)
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        acc = frame(params, acc * 1e-9)   # chain: frame i+1 needs frame i
-    float(acc)
-    dt = (time.perf_counter() - t0) / iters
-    return 1.0 / dt
+    @jax.jit
+    def frame_cached(bins, salt):
+        img, _, _ = render_fast(params, cam, bins=bins,
+                                instance_capacity=instance_capacity * 2)
+        return img[0, 0, 0] + salt
+
+    def timed(fn, *args):
+        acc = fn(*args, jnp.float32(0.0))
+        float(acc)
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            acc = fn(*args, acc * 1e-9)
+        float(acc)
+        return iters / (time.perf_counter() - t0)
+
+    fps_full = timed(frame_full, params)
+    from divshot_tpu.raster.render import render_fast as _rf
+    _, _, bins = jax.jit(lambda p: _rf(
+        p, cam, instance_capacity=instance_capacity * 2))(params)
+    fps_cached = timed(frame_cached, bins)
+    return fps_full, fps_cached
 
 
 def bench_kernel_roofline(n_alive, res_w, res_h, instance_capacity,
@@ -262,11 +277,14 @@ def main():
             log(f"scale point {n} failed: {e}")
             results[f"train_{n//1_000_000}m_1080p"] = {"error": str(e)[:200]}
 
-    # 3. render FPS
+    # 3. render FPS (viewer path: full frame + static-scene cached bins)
     try:
-        fps = bench_render_fps(1_000_000, 1920, 1080, 1 << 23)
-        results["render_fps_1m_1080p"] = round(fps, 1)
-        log(f"render 1M@1080p: {fps:.1f} FPS")
+        fps_full, fps_cached = bench_render_fps(1_000_000, 1920, 1080,
+                                                1 << 23)
+        results["render_fps_1m_1080p"] = round(fps_full, 1)
+        results["render_fps_1m_1080p_static_cached"] = round(fps_cached, 1)
+        log(f"render 1M@1080p: {fps_full:.1f} FPS full, "
+            f"{fps_cached:.1f} FPS cached-bins")
     except Exception as e:
         log(f"render bench failed: {e}")
 

@@ -202,3 +202,77 @@ def render(
     )
     return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink, None,
                         bins.num_instances, max_tile_count)
+
+
+class FastBins(NamedTuple):
+    """Prepared per-frame state ``render_fast`` can reuse while the camera
+    and splats are static (the viewer's dominant regime — the reference's
+    editor resorts per frame only because its params stream in live)."""
+    table: jax.Array
+    tile_start: jax.Array
+    num_instances: jax.Array
+
+
+def render_fast(
+    params: GaussianParams,
+    camera: Camera,
+    *,
+    sh_degree: int | None = None,
+    background: jax.Array | None = None,
+    tile_size: int = 8,
+    instance_capacity: int = 1 << 23,
+    max_tiles_per_gaussian: int = 256,
+    eps2d: float = 0.3,
+    antialiased: bool = False,
+    bins: FastBins | None = None,
+    t_eps: float = 1e-4,
+) -> tuple[jax.Array, jax.Array, FastBins]:
+    """Inference-only viewer path: -> (image, alpha, FastBins).
+
+    Differences from ``render``: forward kernel only (no VJP residuals, no
+    gradient bookkeeping), 8x8 tiles (the per-instance pixel work falls
+    4x while tight-culled instances only grow ~2.5x — a ~1.6x net element
+    cut that the backward path can't afford because its grad-table bytes
+    scale with instances), and the (table, tile ranges) can be passed back
+    in while the scene/camera are static so repeat frames run ONLY the
+    compositing kernel — the analog of the reference viewer's
+    sort-then-raster split (``renderer/gaussian.cpp:272-502``)."""
+    from divshot_tpu.raster import pallas_raster as _pr
+    from divshot_tpu.splat.math import safe_normalize
+    if sh_degree is None:
+        sh_degree = params.sh_degree
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+
+    if bins is None:
+        opac_raw = params.effective_opacity()
+        proj = project_gaussians(
+            params.means, params.scales, params.quats, camera,
+            eps2d=eps2d, antialiased=antialiased, opacities=opac_raw)
+        b = _tiles.bin_gaussians(
+            proj.means2d, proj.depths, proj.radii,
+            camera.width, camera.height, tile_size=tile_size,
+            instance_capacity=instance_capacity,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            build_ids_mat=False, radii_xy=proj.radii_xy, rad2=proj.rad2)
+        dirs = safe_normalize(params.means - camera.campos[None, :])
+        colors = eval_sh_color(params.sh0, params.shN, dirs, sh_degree)
+        opac = opac_raw * proj.comp
+        table = _pr.build_feature_table(proj.means2d, proj.conics, colors,
+                                        opac, b.inst_gauss)
+        bins = FastBins(table=table, tile_start=b.tile_start,
+                        num_instances=b.num_instances)
+
+    interp = jax.default_backend() != "tpu"
+    out = _pr.rasterize_forward(
+        bins.table, bins.tile_start, width=camera.width,
+        height=camera.height, tile_size=tile_size, nch=3,
+        interpret=interp, t_eps=t_eps)
+    tiles_x = (camera.width + tile_size - 1) // tile_size
+    tiles_y = (camera.height + tile_size - 1) // tile_size
+    img = _pr._tiles_to_image(out[:, 0:3, :], tiles_x, tiles_y, tile_size,
+                              camera.width, camera.height)
+    T_px = _pr._tiles_to_image(out[:, 7:8, :], tiles_x, tiles_y, tile_size,
+                               camera.width, camera.height)[..., 0]
+    img = img + T_px[..., None] * background[None, None, :]
+    return img, 1.0 - T_px, bins

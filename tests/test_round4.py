@@ -147,3 +147,25 @@ def test_auto_instance_capacity_grows(rng):
     # and a real step still runs at the grown capacity
     m = tr.step_once()
     assert np.isfinite(float(m["loss"]))
+
+
+def test_render_fast_matches_render(rng):
+    """The inference path (8x8 tiles, forward-only, reusable bins) must
+    match the training renderer's image."""
+    from divshot_tpu.raster.render import render, render_fast
+    params, cam = make_scene(rng, n=400, sh_degree=1)
+    out = render(params, cam, backend="pallas",
+                 instance_capacity=1 << 15,
+                 background=jnp.asarray([0.2, 0.3, 0.4]))
+    img_f, alpha_f, bins = render_fast(
+        params, cam, instance_capacity=1 << 15,
+        background=jnp.asarray([0.2, 0.3, 0.4]))
+    np.testing.assert_allclose(np.asarray(img_f), np.asarray(out.image),
+                               atol=1.5e-2)
+    frac = np.mean(np.abs(np.asarray(img_f) - np.asarray(out.image)) > 1e-4)
+    assert frac < 0.02, frac   # only 3-sigma boundary pixels may differ
+    # bins reuse: identical image bit-for-bit
+    img_r, alpha_r, _ = render_fast(
+        params, cam, instance_capacity=1 << 15, bins=bins,
+        background=jnp.asarray([0.2, 0.3, 0.4]))
+    np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_f))
