@@ -394,13 +394,56 @@ def palette_transform_selected(session: EditSession,
     return slot
 
 
-def effective_params(session: EditSession):
-    """Render-time view of the session params: palette transforms applied
-    on the fly (identity-cost when the palette is empty)."""
-    pal = getattr(session, "_palette", None)
+def _session_paint_palette(session: EditSession):
+    if not hasattr(session, "_paint_palette") \
+            or session._paint_palette is None:
+        from divshot_tpu.splat.color_palette import SplatPaintColorPalette
+        session._paint_palette = SplatPaintColorPalette(
+            session.params.capacity)
+    return session._paint_palette
+
+
+def palette_paint_selected(session: EditSession, color) -> int:
+    """Deferred splat painting via the indexed color palette
+    (``splat_color_palette.h:13-39``): selected splats render with the
+    palette color; the model's SH stays unbaked. -> palette slot."""
+    pal = _session_paint_palette(session)
+    slot = pal.add(color)
+    old = pal.indices
+
+    def restore(s, o=old):
+        _session_paint_palette(s).indices = o
+    session._push_undo("palette paint", restore)
+    pal.assign(session.selected, slot)
+    return slot
+
+
+def bake_paint_palette(session: EditSession) -> None:
+    """Flatten the paint palette into sh0/shN (undoable)."""
+    pal = getattr(session, "_paint_palette", None)
     if pal is None or pal.num_entries == 1:
-        return session.params
-    return pal.apply(session.params)
+        return
+    old = session.params
+    old_idx = pal.indices
+
+    def restore(s, o=old, oi=old_idx):
+        s.params = o
+        _session_paint_palette(s).indices = oi
+    session._push_undo("bake paint", restore)
+    session.params = pal.bake(old)
+
+
+def effective_params(session: EditSession):
+    """Render-time view of the session params: palette transforms + paint
+    palette applied on the fly (identity-cost when both are empty)."""
+    p = session.params
+    pal = getattr(session, "_palette", None)
+    if pal is not None and pal.num_entries > 1:
+        p = pal.apply(p)
+    ppal = getattr(session, "_paint_palette", None)
+    if ppal is not None and ppal.num_entries > 1:
+        p = ppal.apply(p)
+    return p
 
 
 def bake_palette(session: EditSession) -> None:

@@ -189,6 +189,67 @@ def shade_gbuffer(gb: GBuffer, *, light_dir=(0.4, -0.7, -0.6),
     return jnp.where(hit[..., None], rgb, 0.0)
 
 
+def shade_gbuffer_lights(gb: GBuffer, camera, lights, *,
+                         ambient: float = 0.15) -> jax.Array:
+    """Shade the G-buffer with the scene's analytic Light descriptors
+    (``scene/component/light/*`` analog): DIRECTIONAL, POINT (smooth range
+    falloff), SPOT (inner/outer cone); RECT/DISK/CYLINDER approximate as
+    point lights at their center with area-scaled intensity — the same
+    class of approximation the reference's raster lighting combine uses
+    for area lights outside the RT path.
+
+    ``lights`` is a list of ``scene.components.Light``. Positions and
+    directions are world-space; the G-buffer normal is camera-space, so
+    shading happens in world space via the camera rotation."""
+    from divshot_tpu.scene.components import LightType
+    H, W = gb.depth.shape
+    hit = jnp.isfinite(gb.depth)
+    # world-space reconstruction (shared with the path tracer)
+    x = (jnp.arange(W, dtype=jnp.float32) + 0.5 - camera.cx) / camera.fx
+    y = (jnp.arange(H, dtype=jnp.float32) + 0.5 - camera.cy) / camera.fy
+    d = jnp.where(hit, gb.depth, 0.0)
+    pos_cam = jnp.stack([x[None, :] * d, y[:, None] * d, d], axis=-1)
+    R = camera.viewmat[:3, :3]
+    t = camera.viewmat[:3, 3]
+    pos_w = jnp.einsum("ji,hwj->hwi", R, pos_cam - t[None, None, :])
+    n_w = jnp.einsum("ji,hwj->hwi", R, gb.normal)
+
+    radiance = jnp.full((H, W, 3), ambient, jnp.float32)
+    for lt in lights:
+        col = jnp.asarray(lt.color, jnp.float32) * float(lt.intensity)
+        if lt.type == LightType.DIRECTIONAL:
+            ld = jnp.asarray(lt.direction, jnp.float32)
+            ld = ld / jnp.maximum(jnp.linalg.norm(ld), 1e-8)
+            ndl = jnp.clip(-jnp.sum(n_w * ld, axis=-1), 0.0, 1.0)
+            radiance = radiance + ndl[..., None] * col
+            continue
+        if lt.type in (LightType.RECT, LightType.DISK,
+                       LightType.CYLINDER):
+            area = max(float(lt.size[0]) * float(lt.size[1]), 1e-4)
+            col = col * area
+        lp = jnp.asarray(lt.position, jnp.float32)
+        to_l = lp[None, None, :] - pos_w
+        dist = jnp.maximum(jnp.linalg.norm(to_l, axis=-1), 1e-6)
+        ldir = to_l / dist[..., None]
+        ndl = jnp.clip(jnp.sum(n_w * ldir, axis=-1), 0.0, 1.0)
+        rng = max(float(lt.range), 1e-3)
+        # UE-style smooth range window over inverse-square falloff
+        win = jnp.clip(1.0 - (dist / rng) ** 4, 0.0, 1.0) ** 2
+        atten = win / (1.0 + dist * dist)
+        if lt.type == LightType.SPOT:
+            sd = jnp.asarray(lt.direction, jnp.float32)
+            sd = sd / jnp.maximum(jnp.linalg.norm(sd), 1e-8)
+            cos = jnp.sum(-ldir * sd[None, None, :], axis=-1)
+            ci = float(np.cos(lt.inner_angle))
+            co = float(np.cos(lt.outer_angle))
+            cone = jnp.clip((cos - co) / max(ci - co, 1e-4), 0.0, 1.0)
+            atten = atten * cone * cone
+        radiance = radiance + (ndl * atten)[..., None] * col
+
+    rgb = gb.albedo * radiance
+    return jnp.where(hit[..., None], rgb, 0.0)
+
+
 def composite_splats_over_mesh(splat_rgb, splat_alpha, splat_depth,
                                gb: GBuffer, mesh_rgb, background=None):
     """Hybrid composite (deferred_renderer depth-test analog): where the

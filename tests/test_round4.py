@@ -169,3 +169,71 @@ def test_render_fast_matches_render(rng):
         params, cam, instance_capacity=1 << 15, bins=bins,
         background=jnp.asarray([0.2, 0.3, 0.4]))
     np.testing.assert_array_equal(np.asarray(img_r), np.asarray(img_f))
+
+
+def test_paint_color_palette(rng):
+    """Indexed paint palette (splat_color_palette.h analog): deferred view
+    == baked result; undo restores; index 0 untouched."""
+    from divshot_tpu.edit.ops import (EditSession, palette_paint_selected,
+                                      bake_paint_palette, effective_params)
+    params, cam = make_scene(rng, n=50, sh_degree=1)
+    s = EditSession(params)
+    sel = jnp.zeros((params.capacity,), bool).at[:20].set(True)
+    s._set_selected_bit(sel, "test select")
+    slot = palette_paint_selected(s, (1.0, 0.2, 0.1))
+    assert slot == 1
+    view = effective_params(s)
+    # deferred: model untouched, view painted
+    assert not np.allclose(np.asarray(view.sh0[:20]),
+                           np.asarray(s.params.sh0[:20]))
+    np.testing.assert_array_equal(np.asarray(view.sh0[20:]),
+                                  np.asarray(s.params.sh0[20:]))
+    assert float(jnp.abs(view.shN[:20]).max()) == 0.0
+    # bake == deferred view
+    view_sh0 = np.asarray(view.sh0)
+    bake_paint_palette(s)
+    np.testing.assert_array_equal(np.asarray(s.params.sh0), view_sh0)
+    # undo restores both model and indices
+    s.undo()
+    assert np.allclose(np.asarray(s.params.sh0[:20]),
+                       np.asarray(params.sh0[:20]))
+
+
+def test_shade_gbuffer_lights(rng):
+    """Analytic lights drive mesh shading: point falloff, spot cone,
+    directional."""
+    from divshot_tpu.raster.mesh_raster import (rasterize_mesh,
+                                                shade_gbuffer_lights)
+    from divshot_tpu.scene.components import Light, LightType
+    from divshot_tpu.splat.camera import Camera
+    verts = jnp.asarray([[-2, 0, -2], [2, 0, -2], [2, 0, 2], [-2, 0, 2]],
+                        jnp.float32)
+    faces = jnp.asarray([[0, 2, 1], [0, 3, 2]], jnp.int32)
+    normals = jnp.asarray([[0, 1, 0]] * 4, jnp.float32)
+    colors = jnp.full((4, 3), 1.0)
+    cam = Camera.look_at(eye=jnp.asarray([0.0, 3.0, 3.0]),
+                         target=jnp.zeros(3), up=jnp.asarray([0.0, 1, 0]),
+                         width=96, height=96, fov_y_deg=55.0)
+    gb = rasterize_mesh(verts, faces, cam, normals=normals, colors=colors)
+    hit = np.isfinite(np.asarray(gb.depth))
+
+    # point light near one corner lights that corner more
+    pt = Light(type=LightType.POINT, position=(1.5, 0.8, 1.5),
+               intensity=3.0, range=10.0)
+    img = np.asarray(shade_gbuffer_lights(gb, cam, [pt], ambient=0.0))
+    assert np.isfinite(img).all() and img[hit].max() > 0.05
+    # spot pointing straight down from center: lit spot is tighter than
+    # the point light's footprint
+    sp = Light(type=LightType.SPOT, position=(0.0, 2.0, 0.0),
+               direction=(0.0, -1.0, 0.0), intensity=6.0, range=10.0,
+               inner_angle=0.2, outer_angle=0.35)
+    img_sp = np.asarray(shade_gbuffer_lights(gb, cam, [sp], ambient=0.0))
+    lit_sp = (img_sp.mean(-1) > 0.01) & hit
+    lit_pt = (img.mean(-1) > 0.01) & hit
+    assert 0 < lit_sp.sum() < lit_pt.sum()
+    # directional: uniform on a flat floor
+    dl = Light(type=LightType.DIRECTIONAL, direction=(0.0, -1.0, 0.0),
+               intensity=1.0)
+    img_d = np.asarray(shade_gbuffer_lights(gb, cam, [dl], ambient=0.0))
+    vals = img_d.mean(-1)[hit]
+    assert vals.std() < 1e-4 and abs(vals.mean() - 1.0) < 1e-3
