@@ -37,6 +37,9 @@ def main(argv=None):
     demo = "--demo" in argv
     argv = [a for a in argv if a != "--demo"]
     cfg = config_from_flags(argv)
+    if cfg.debug_nan:
+        # SURVEY §5.2 debug mode: fail at the op that produces NaN
+        jax.config.update("jax_debug_nans", True)
     phase = PhaseTracker()
     phase.set(TrainingStatus.LOADING_PREPARE)
 

@@ -150,6 +150,8 @@ class TrainConfig:
     mesh_resolution: int = 256
     cull_sh: bool = False
     verbose: bool = False
+    debug_nan: bool = False     # enable jax_debug_nans (SURVEY §5.2 debug
+                                # mode: fail fast at the op producing NaN)
     seed: int = 0
 
     def replace(self, **kw) -> "TrainConfig":
@@ -242,6 +244,8 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         "visible_adam": "optim.visible_adam",
         "checkpoint_every": "checkpoint_every",
         "seed": "seed",
+        "debug_nan": "debug_nan",
+        "verbose": "verbose",
         "sh_degree": "sh_degree",
         "white_background": "white_background",
         "position_lr_init": "optim.pos_lr_init",

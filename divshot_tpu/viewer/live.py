@@ -58,8 +58,31 @@ class LiveViewerServer:
                     self._reply(200, "application/json",
                                 json.dumps(outer.status()).encode())
                 elif path == "/splats":
-                    self._reply(200, "application/octet-stream",
-                                outer.splat_payload())
+                    # ?gen=G -> 304 when the snapshot hasn't advanced (the
+                    # page polls; without this every poll re-downloaded the
+                    # full payload). ?max=N -> top-N-opacity decimation for
+                    # large sessions (bounds the payload instead of
+                    # streaming all splats every generation).
+                    from urllib.parse import parse_qs
+                    qs = parse_qs(self.path.split("?", 1)[1]) \
+                        if "?" in self.path else {}
+                    cur = int(getattr(outer.session,
+                                      "snapshot_generation", 0))
+                    if qs.get("gen") and int(qs["gen"][0]) == cur:
+                        self.send_response(304)
+                        self.send_header("X-Generation", str(cur))
+                        self.end_headers()
+                        return
+                    maxn = int(qs["max"][0]) if qs.get("max") else None
+                    body = outer.splat_payload(maxn)
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "application/octet-stream")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.send_header("X-Generation", str(cur))
+                    self.send_header("Cache-Control", "no-store")
+                    self.end_headers()
+                    self.wfile.write(body)
                 else:
                     self._reply(404, "text/plain", b"not found")
 
@@ -81,14 +104,16 @@ class LiveViewerServer:
             "generation": int(getattr(s, "snapshot_generation", 0)),
         }
 
-    def splat_payload(self) -> bytes:
+    def splat_payload(self, max_splats: int | None = None) -> bytes:
         gen = int(getattr(self.session, "snapshot_generation", 0))
+        cap = min(max_splats or self.max_splats, self.max_splats)
         with self._lock:
-            if gen != self._cached_gen:
+            key = (gen, cap)
+            if key != self._cached_gen:
                 params = self.session.get_params_snapshot()
                 self._cached_bytes = b"" if params is None else \
-                    splat_bytes(params, self.max_splats)
-                self._cached_gen = gen
+                    splat_bytes(params, cap)
+                self._cached_gen = key
             return self._cached_bytes
 
     # -- lifecycle -----------------------------------------------------------
