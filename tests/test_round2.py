@@ -49,6 +49,9 @@ def test_num_instances_reports_true_demand(rng):
 def test_trainer_overflow_warning(rng):
     params, ds = _tiny_dataset(rng)
     cfg = TrainConfig(sh_degree=0, num_iters=2, ssim_weight=0.0)
+    # r4: auto_instance_capacity grows the buffer instead of warning; the
+    # DROPPED warning is the fallback when auto-growth is disabled
+    cfg.raster.auto_instance_capacity = False
     tr = Trainer(cfg, ds, params,
                  render_kwargs={"backend": "tiles", "instance_capacity": 256,
                                 "tile_capacity": 32, "chunk": 32})
