@@ -259,8 +259,11 @@ def main():
     results = {}
 
     # 1. primary (comparable with BENCH_r01/r02/r03)
+    # instance buffer right-sized to measured demand (~448K post-culling;
+    # auto_instance_capacity would land here too) — every non-kernel step
+    # component scales with capacity, not demand (PERF.md)
     it100k, d100k = bench_train(100_000, 1 << 17, 800, 800, n_views=16,
-                                instance_capacity=1 << 20)
+                                instance_capacity=1 << 19)
     results["train_100k_800px"] = {"iters_per_s": round(it100k, 3),
                                    "instance_demand": d100k}
     log(f"train 100K@800px: {it100k:.2f} it/s (demand {d100k})")
