@@ -237,9 +237,16 @@ async function poll(){
       `${st.max_iterations}  loss ${(st.loss??0).toFixed(4)}  ` +
       `splats ${st.num_splats}  [${st.phase}]`;
     if (st.generation !== generation){
-      generation = st.generation;
-      const r = await fetch('splats');
-      if (r.ok) loadSplatBytes(new Uint8Array(await r.arrayBuffer()));
+      // send our stale generation: the server replies 304 if the snapshot
+      // regressed to what we already hold (races), and ?max bounds the
+      // payload via top-opacity decimation for very large sessions
+      const r = await fetch(
+        `splats?gen=${generation}&max=__MAX_SPLATS__`);
+      if (r.ok && r.status !== 304){
+        generation = parseInt(r.headers.get('X-Generation')
+                              ?? st.generation);
+        loadSplatBytes(new Uint8Array(await r.arrayBuffer()));
+      }
     }
   }catch(e){ info.textContent = 'divshot_tpu LIVE — waiting for trainer'; }
   setTimeout(poll, __POLL_MS__);
@@ -252,10 +259,11 @@ def render_template(data_source_js: str) -> str:
     return _TEMPLATE.replace("__DATA_SOURCE__", data_source_js)
 
 
-def live_page(poll_ms: int = 1000) -> str:
+def live_page(poll_ms: int = 1000, max_splats: int = 1_000_000) -> str:
     """The live-viewer page (used by ``viewer.live.LiveViewerServer``)."""
-    return render_template(_LIVE_SOURCE.replace("__POLL_MS__",
-                                                str(poll_ms)))
+    src = _LIVE_SOURCE.replace("__POLL_MS__", str(poll_ms))
+    src = src.replace("__MAX_SPLATS__", str(max_splats))
+    return render_template(src)
 
 
 def splat_bytes(params: GaussianParams, max_splats: int = 1_000_000
