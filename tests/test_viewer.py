@@ -129,7 +129,7 @@ def test_live_viewer_server():
     try:
         base = f"http://127.0.0.1:{server.port}"
         page = urllib.request.urlopen(f"{base}/").read().decode()
-        assert "loadSplatBytes" in page and "fetch('splats')" in page
+        assert "loadSplatBytes" in page and "splats?gen=" in page
 
         st0 = json.loads(urllib.request.urlopen(f"{base}/status").read())
         assert st0["max_iterations"] == 6
