@@ -26,6 +26,9 @@ def main(argv=None):
     p.add_argument("--video", default=None, help="write MJPEG .avi")
     p.add_argument("--fps", type=int, default=30)
     p.add_argument("--backend", default="tiles")
+    p.add_argument("--fast", action="store_true",
+                   help="inference-only fast path (render_fast: 8x8 "
+                        "tiles, forward kernel only)")
     p.add_argument("--white_background", action="store_true")
     ns = p.parse_args(argv)
 
@@ -47,9 +50,25 @@ def main(argv=None):
     cams = orbit_cameras(ns.orbit, radius=radius, width=ns.width,
                          height_px=ns.height, fov_y_deg=ns.fov)
     bg = [1.0, 1.0, 1.0] if ns.white_background else [0.0, 0.0, 0.0]
-    frames = render_views(params, cams, background=bg, out_dir=ns.out,
-                          backend=ns.backend,
-                          instance_capacity=1 << 20)
+    if ns.fast:
+        import os
+        import jax.numpy as jnp
+        from PIL import Image
+        from divshot_tpu.raster.render import render_fast
+        os.makedirs(ns.out, exist_ok=True)
+        frames = []
+        for i, cam in enumerate(cams):
+            img, _alpha, _bins = render_fast(
+                params, cam, background=jnp.asarray(bg, jnp.float32),
+                instance_capacity=1 << 20)
+            arr = np.asarray(jnp.clip(img, 0, 1) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(
+                os.path.join(ns.out, f"{i:05d}.png"))
+            frames.append(arr)
+    else:
+        frames = render_views(params, cams, background=bg, out_dir=ns.out,
+                              backend=ns.backend,
+                              instance_capacity=1 << 20)
     if ns.video:
         write_video(ns.video, frames, fps=ns.fps)
         print(f"wrote {ns.video}")
