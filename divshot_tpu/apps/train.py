@@ -109,9 +109,13 @@ def main(argv=None):
 
     from divshot_tpu.train.evaluate import evaluate
     bg = jnp.ones((3,), jnp.float32) if cfg.white_background else None
-    eval_rk = {"backend": trainer._render_kwargs.get("backend", "pallas"),
-               "instance_capacity": trainer._instance_capacity,
-               "antialiased": cfg.raster.mip_antialiased}
+    # NOTE: instance_capacity is read per-eval (not captured once) —
+    # auto_instance_capacity grows the training buffer mid-run and eval
+    # renders must track it or they silently drop instances (ADVICE r4)
+    def eval_rk():
+        return {"backend": trainer._render_kwargs.get("backend", "pallas"),
+                "instance_capacity": trainer._instance_capacity,
+                "antialiased": cfg.raster.mip_antialiased}
     eval_curve: list[dict] = []
     # on resume, keep the earlier curve entries (the eval history is the
     # quality record — never drop it)
@@ -125,7 +129,7 @@ def main(argv=None):
         if eval_ds is None:
             return None
         ev = evaluate(trainer.state.params, eval_ds,
-                      render_kwargs=eval_rk, background=bg)
+                      render_kwargs=eval_rk(), background=bg)
         entry = {"step": step, "psnr": ev["psnr"], "ssim": ev["ssim"],
                  "num_alive": int(np.asarray(jnp.sum(
                      trainer.state.params.alive.astype(jnp.int32))))}

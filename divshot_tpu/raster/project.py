@@ -113,10 +113,12 @@ def project_gaussians(
     conic_c = cxx_d * inv_det
 
     # conservative radius: coeff * sigma of the major eigenvalue. Without
-    # opacity the classic 3-sigma; with opacity the EXACT alpha >= 1/255
-    # level set {0.5 d^T conic d <= L}, L = ln(255*op_eff), capped at 3 —
-    # strictly shrinking, so the compositor's own alpha cull guarantees an
-    # identical image while low-opacity splats emit far fewer instances.
+    # opacity the classic 3-sigma; with opacity the alpha >= 1/255 level
+    # set {0.5 d^T conic d <= L}, L = ln(255*op_eff), capped at 3-sigma.
+    # Below the cap (op_eff < ~0.35) the level set is exact and the
+    # compositor's alpha cull guarantees an identical image; above it the
+    # 3-sigma cap matches the CUDA reference's convention (tail alpha up to
+    # ~op*e^-4.5 ~ 1.1% is truncated, same as diff-gaussian-rasterization).
     mid = 0.5 * (cxx_d + cyy_d)
     disc = jnp.sqrt(jnp.maximum(mid * mid - det_safe, 0.1))
     lambda1 = mid + disc

@@ -100,8 +100,10 @@ def bin_gaussians(
     visible = radii > 0
     u, v = means2d[:, 0], means2d[:, 1]
     # per-axis AABB: the ellipse's axis extents are far tighter than the
-    # circum-radius square for anisotropic splats (identical image — the
-    # compositor culls alpha < 1/255 anyway)
+    # circum-radius square for anisotropic splats. Image-preserving up to
+    # the 3-sigma cap convention (see project.py radius note): the
+    # compositor culls alpha < 1/255, and the capped tail matches the CUDA
+    # reference's own truncation.
     rx = radii_xy[:, 0] if radii_xy is not None else radii
     ry = radii_xy[:, 1] if radii_xy is not None else radii
     tmin_x = jnp.clip(jnp.floor((u - rx) / tile_size), 0, tw).astype(jnp.int32)
@@ -203,8 +205,11 @@ def bin_gaussians(
     # drops at most guard_lanes extra instances.
     tile_bounds = jnp.searchsorted(
         s_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32)).astype(jnp.int32)
-    tile_bounds = jnp.minimum(tile_bounds,
-                              max(cap - guard_lanes, cap // 2))
+    if not build_ids_mat:
+        # only the Pallas path needs the mega-DMA guard; the XLA 'tiles'
+        # backend reads through ids_mat and keeps the full range
+        tile_bounds = jnp.minimum(tile_bounds,
+                                  max(cap - guard_lanes, cap // 2))
     tile_start = tile_bounds[:num_tiles]
     tile_counts = tile_bounds[1:] - tile_start
 

@@ -29,8 +29,8 @@ import numpy as np
 # torchvision VGG-16 conv indices and the slice boundaries after which
 # LPIPS taps features (relu1_2, relu2_2, relu3_3, relu4_3, relu5_3)
 VGG16_CONV = (0, 2, 5, 7, 10, 12, 14, 17, 19, 21, 24, 26, 28)
-_TAPS = (2, 5, 14, 21, 28)          # conv index whose relu output is tapped
-_POOL_AFTER = (2, 5, 14, 21)        # maxpool after these taps
+_TAPS = (2, 7, 14, 21, 28)          # conv index whose relu output is tapped
+_POOL_AFTER = (2, 7, 14, 21)        # maxpool after these taps
 
 # ImageNet normalization LPIPS uses (on [-1, 1]-scaled input)
 _SHIFT = np.array([-0.030, -0.088, -0.188], np.float32)

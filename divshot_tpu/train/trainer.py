@@ -627,11 +627,14 @@ class Trainer:
             self._render_kwargs["instance_capacity"] = new_cap
             self._build_steps()
             return
-        if ni > icap and not self._warned_instance_overflow:
+        # the Pallas path clamps tile ranges at icap - guard_lanes (the
+        # mega-DMA guard band, tiles.bin_gaussians) — warn from that
+        # threshold, not only at ni > icap (ADVICE r4)
+        if ni > icap - 2048 and not self._warned_instance_overflow:
             self._warned_instance_overflow = True
             warnings.warn(
-                f"tile-instance demand {ni} exceeds instance_capacity "
-                f"{icap}; excess instances are DROPPED "
+                f"tile-instance demand {ni} reaches the instance_capacity "
+                f"{icap} guard band; excess instances are DROPPED "
                 f"(image corruption). Raise raster.instance_capacity_mult.",
                 RuntimeWarning, stacklevel=2)
         mtc = int(metrics.get("max_tile_count", 0))
