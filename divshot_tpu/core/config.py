@@ -62,7 +62,13 @@ class DensifyConfig:
     refine_every: int = 100
     warmup_length: int = 500
     refine_stop_iter: int = 15_000
-    refine_scale2d_stop_iter: int = 5_000
+    # screen-size split trigger: DISABLED by default (0), matching gsplat's
+    # DefaultStrategy (refine_scale2d_stop_iter=0, flagged "not well
+    # tested" upstream). r4 evidence: with this enabled every splat whose
+    # radius ever exceeded 5% of the screen split unconditionally each
+    # refine, saturating cap_max within ~1.3K iters and stalling the ADC
+    # quality leg at ~20 dB (runs/tpu_bricks_adc).
+    refine_scale2d_stop_iter: int = 0
     reset_alpha_every: int = 3_000    # = 30 * refine_every
     grow_grad2d: float = 0.0002
     use_abs_grad: bool = True         # AbsGS
@@ -184,13 +190,23 @@ def auto_tune_config(cfg: TrainConfig, num_images: int) -> TrainConfig:
         refine_stop_iter=keep(cfg.densify.refine_stop_iter,
                               defaults.densify.refine_stop_iter,
                               num_iters // 2),
-        refine_scale2d_stop_iter=keep(
-            cfg.densify.refine_scale2d_stop_iter,
-            defaults.densify.refine_scale2d_stop_iter, num_iters // 6),
         reset_alpha_every=keep(cfg.densify.reset_alpha_every,
                                defaults.densify.reset_alpha_every,
                                30 * d.refine_every),
     )
+    # strategy-aware gradient-threshold pairing: AbsGS absolute gradients
+    # run ~3-4x larger than signed ones, so the classic 2e-4 threshold
+    # over-triggers densification (r4 ADC leg saturated cap_max by iter
+    # 1.3K). Follow gsplat's recommended pairing: absgrad => 4x threshold.
+    # Classic ADC (densifyStrategy 0) uses signed grads, per graphdeco.
+    if d.strategy == DensifyStrategy.ADC:
+        d = dataclasses.replace(
+            d, use_abs_grad=keep(cfg.densify.use_abs_grad,
+                                 defaults.densify.use_abs_grad, False))
+    if d.use_abs_grad and d.strategy != DensifyStrategy.MCMC:
+        d = dataclasses.replace(
+            d, grow_grad2d=keep(cfg.densify.grow_grad2d,
+                                defaults.densify.grow_grad2d, 0.0008))
     return dataclasses.replace(cfg, num_iters=num_iters, densify=d)
 
 
