@@ -849,6 +849,110 @@ def _make_raster(width: int, height: int, tile_size: int, nch: int,
     return raster
 
 
+@functools.lru_cache(maxsize=None)
+def _make_raster_binned(width: int, height: int, tile_size: int, nch: int,
+                        interpret: bool, t_eps: float, with_absgrad: bool,
+                        instance_capacity: int, mt: int):
+    """Custom-VJP raster with the round-5 Pallas binning INSIDE: the
+    per-instance features ride the (tile|depth) sort as payload (measured:
+    sort payload cost saturates — key+12 words cost what key+4 does), so
+    there is no feature gather in the forward and no permutation gather in
+    the backward (grads ride ONE owner-keyed sort back to expansion
+    order). See pallas_bin.py for the measured scaling laws."""
+    from divshot_tpu.raster import pallas_bin as PB
+    tiles_x = (width + tile_size - 1) // tile_size
+    tiles_y = (height + tile_size - 1) // tile_size
+
+    def _fwd(means2d, conics, colors, opacities, background,
+             depths, radii, radii_xy, rad2):
+        bins = PB.expand_sorted(
+            means2d, conics, depths, radii, radii_xy, rad2, colors,
+            opacities, width=width, height=height, tile_size=tile_size,
+            instance_capacity=instance_capacity, mt=mt, interpret=interpret)
+        out = rasterize_forward(
+            bins.table, bins.tile_start, width=width, height=height,
+            tile_size=tile_size, nch=nch, interpret=interpret, t_eps=t_eps)
+        img = _tiles_to_image(out[:, 0:nch, :], tiles_x, tiles_y, tile_size,
+                              width, height)
+        T_px = _tiles_to_image(out[:, ROW_T:ROW_T + 1, :], tiles_x, tiles_y,
+                               tile_size, width, height)[..., 0]
+        bg_full = jnp.concatenate(
+            [background, jnp.zeros((nch - 3,), jnp.float32)]) \
+            if nch > 3 else background
+        img = img + T_px[..., None] * bg_full[None, None, :]
+        return bins, out, img, T_px
+
+    @jax.custom_vjp
+    def raster(means2d, conics, colors, opacities, background,
+               absgrad_sink, npix_sink, depths, radii, radii_xy, rad2):
+        bins, out, img, T_px = _fwd(means2d, conics, colors, opacities,
+                                    background, depths, radii, radii_xy,
+                                    rad2)
+        return (img, 1.0 - T_px, bins.num_instances,
+                jnp.max(bins.tile_counts))
+
+    def fwd(means2d, conics, colors, opacities, background,
+            absgrad_sink, npix_sink, depths, radii, radii_xy, rad2):
+        bins, out, img, T_px = _fwd(means2d, conics, colors, opacities,
+                                    background, depths, radii, radii_xy,
+                                    rad2)
+        res = (bins, out, background, T_px)
+        outs = (img, 1.0 - T_px, bins.num_instances,
+                jnp.max(bins.tile_counts))
+        return outs, res
+
+    def bwd(res, cot):
+        bins, out, background, T_px = res
+        g_img, g_alpha, _g_ni, _g_mtc = cot
+        g_T_img = g_alpha - jnp.einsum(
+            "hwc,c->hw", g_img[..., :3], background)
+        pad = jnp.zeros((*g_img.shape[:2], 7 - nch), jnp.float32)
+        cot_img = jnp.concatenate(
+            [g_img, pad, g_T_img[..., None]], axis=-1)
+        cot_tiles = _image_to_tiles(cot_img, tiles_x, tiles_y, tile_size)
+        grads, bnd = rasterize_backward(
+            bins.table, bins.tile_start, cot_tiles, out,
+            width=width, height=height, tile_size=tile_size, nch=nch,
+            interpret=interpret, t_eps=t_eps, with_absgrad=with_absgrad)
+        g = PB.reduce_grads_sorted(grads, bnd, bins.tile_start,
+                                   bins.s_owner, bins.g_offsets,
+                                   bins.g_counts, nch=nch)
+        d_bg = jnp.einsum("hwc,hw->c", g_img[..., :3], T_px)
+        return (g["means2d"], g["conics"], g["colors"], g["opacity"],
+                d_bg, g["absgrad"], g["npix"], None, None, None, None)
+
+    raster.defvjp(fwd, bwd)
+    return raster
+
+
+def rasterize_pallas_binned(
+    means2d, conics, colors, opacities, proj,
+    *, width: int, height: int, tile_size: int = 16,
+    instance_capacity: int = 1 << 20, max_tiles_per_gaussian: int = 64,
+    background=None, absgrad_sink=None, npix_sink=None,
+    t_eps: float = T_EPS, interpret: bool = False, with_absgrad: bool = True,
+):
+    """Differentiable raster with integrated Pallas binning (round 5):
+    -> (img (H, W, C), alpha (H, W), num_instances, max_tile_count).
+
+    ``proj`` supplies the stop-grad binning geometry (depths, radii,
+    radii_xy, rad2)."""
+    if background is None:
+        background = jnp.zeros((3,), jnp.float32)
+    if absgrad_sink is None:
+        absgrad_sink = jnp.zeros((means2d.shape[0], 2), jnp.float32)
+    if npix_sink is None:
+        npix_sink = jnp.zeros((means2d.shape[0],), jnp.float32)
+    nch = colors.shape[1]
+    sg = jax.lax.stop_gradient
+    fn = _make_raster_binned(width, height, tile_size, nch, interpret,
+                             t_eps, with_absgrad, instance_capacity,
+                             max_tiles_per_gaussian)
+    return fn(means2d, conics, colors, opacities, background,
+              absgrad_sink, npix_sink, sg(proj.depths), sg(proj.radii),
+              sg(proj.radii_xy), sg(proj.rad2))
+
+
 def rasterize_pallas(
     means2d, conics, colors, opacities, bins,
     *, width: int, height: int, tile_size: int = 16,

@@ -67,6 +67,7 @@ def render(
     cull_sh_radius: float = 0.0,
     fov_clamp: tuple | None = None,
     with_absgrad: bool = True,
+    binning: str = "pallas",
 ) -> RenderOutput:
     """``absgrad_sink`` / ``means2d_sink`` are zero (N, 2) inputs whose
     cotangents harvest the AbsGS absolute and the signed screen-space
@@ -160,6 +161,32 @@ def render(
     if instance_capacity is None:
         instance_capacity = max(1 << 16,
                                 int(instance_capacity_mult * params.capacity))
+
+    if backend == "pallas" and binning == "pallas":
+        # round-5 path: one-hot window-decode expansion + feature-riding
+        # sort, binning inside the custom VJP (pallas_bin.py)
+        from divshot_tpu.raster import pallas_raster as _pr
+        interp = jax.default_backend() != "tpu"
+        if absgrad_sink is None:
+            absgrad_sink = jnp.zeros((params.capacity, 2), jnp.float32)
+        means2d = proj.means2d if means2d_sink is None \
+            else proj.means2d + means2d_sink
+        cols = colors if extra_colors is None \
+            else jnp.concatenate([colors, extra_colors], axis=1)
+        img, alpha, n_inst, max_tc = _pr.rasterize_pallas_binned(
+            means2d, proj.conics, cols, opac, proj,
+            width=camera.width, height=camera.height, tile_size=tile_size,
+            instance_capacity=instance_capacity,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            background=background, absgrad_sink=absgrad_sink,
+            npix_sink=npix_sink, t_eps=t_eps, interpret=interp,
+            with_absgrad=with_absgrad)
+        extra = None
+        if extra_colors is not None:
+            img, extra = img[..., :3], img[..., 3:]
+        return RenderOutput(img, alpha, proj, proj.means2d, absgrad_sink,
+                            extra, n_inst, max_tc)
+
     bins = _tiles.bin_gaussians(
         jax.lax.stop_gradient(proj.means2d),
         jax.lax.stop_gradient(proj.depths),

@@ -7,6 +7,105 @@ from divshot_tpu.core.config import (TrainConfig, DensifyStrategy,
                                      auto_tune_config, config_from_flags)
 
 
+def _small_scene(n=120, seed=0):
+    import jax.numpy as jnp
+    from divshot_tpu.gsio.synthetic import random_scene, orbit_cameras
+    rng = np.random.default_rng(seed)
+    params = random_scene(rng, n, sh_degree=1)
+    cam = orbit_cameras(1, width=64, height_px=48)[0]
+    return params, cam
+
+
+def test_pallas_binning_matches_xla_binning():
+    """expand_sorted must reproduce bin_gaussians' counts/offsets/demand
+    and the integrated raster path must match the XLA-binning path
+    image- and gradient-wise (transport through the sort is exact)."""
+    import jax
+    import jax.numpy as jnp
+    from divshot_tpu.raster.render import render
+    from divshot_tpu.raster import tiles as T
+    from divshot_tpu.raster import pallas_bin as PB
+    from divshot_tpu.raster.project import project_gaussians
+    from divshot_tpu.splat.sh import eval_sh_color
+    from divshot_tpu.splat.math import safe_normalize
+
+    params, cam = _small_scene()
+    proj = project_gaussians(params.means, params.scales, params.quats, cam,
+                             opacities=params.effective_opacity())
+    dirs = safe_normalize(params.means - cam.campos[None, :])
+    colors = eval_sh_color(params.sh0, params.shN, dirs, 1)
+    opac = params.effective_opacity() * proj.comp
+
+    bins_old = T.bin_gaussians(
+        proj.means2d, proj.depths, proj.radii, cam.width, cam.height,
+        instance_capacity=1 << 13, build_ids_mat=False,
+        radii_xy=proj.radii_xy, rad2=proj.rad2)
+    bins_new = PB.expand_sorted(
+        proj.means2d, proj.conics, proj.depths, proj.radii, proj.radii_xy,
+        proj.rad2, colors, opac, width=cam.width, height=cam.height,
+        instance_capacity=1 << 13, interpret=True)
+
+    np.testing.assert_array_equal(np.asarray(bins_new.g_counts),
+                                  np.asarray(bins_old.g_counts))
+    np.testing.assert_array_equal(np.asarray(bins_new.g_offsets),
+                                  np.asarray(bins_old.g_offsets))
+    assert int(bins_new.num_instances) == int(bins_old.num_instances)
+    np.testing.assert_array_equal(np.asarray(bins_new.tile_counts),
+                                  np.asarray(bins_old.tile_counts))
+
+    # instances per tile must be the same SET (near-tie depth order may
+    # differ between the two key precisions)
+    ts_old = np.asarray(bins_old.tile_start)
+    ts_new = np.asarray(bins_new.tile_start)
+    np.testing.assert_array_equal(ts_old, ts_new)
+    go = np.asarray(bins_old.inst_gauss)
+    gn = np.asarray(bins_new.s_owner)
+    for t in range(len(ts_old) - 1):
+        s, e = ts_old[t], ts_old[t + 1]
+        np.testing.assert_array_equal(np.sort(go[s:e]), np.sort(gn[s:e]))
+
+    # feature rows decoded through the one-hot matmul must be bit-exact
+    from divshot_tpu.raster.pallas_raster import build_feature_table
+    table_old = build_feature_table(proj.means2d, proj.conics, colors, opac,
+                                    bins_old.inst_gauss)
+    # compare at instances where the two sorts agree on the owner
+    agree = go == gn
+    np.testing.assert_allclose(
+        np.asarray(bins_new.table)[:6, agree],
+        np.asarray(table_old)[:6, agree], rtol=0, atol=0)
+
+
+def test_pallas_binned_render_parity():
+    import jax
+    import jax.numpy as jnp
+    from divshot_tpu.raster.render import render
+
+    params, cam = _small_scene()
+
+    fields = {f: getattr(params, f)
+              for f in ("means", "scales", "quats", "sh0", "opacity")}
+
+    def run(binning):
+        def f(fl):
+            out = render(params.replace(**fl), cam, backend="pallas",
+                         binning=binning, instance_capacity=1 << 13)
+            return jnp.sum(out.image * out.image) + jnp.sum(out.alpha), \
+                out.image
+        (loss, img), grads = jax.value_and_grad(
+            f, has_aux=True)(fields)
+        return loss, img, grads
+
+    loss_n, img_n, g_n = run("pallas")
+    loss_x, img_x, g_x = run("xla")
+    np.testing.assert_allclose(np.asarray(img_n), np.asarray(img_x),
+                               atol=2e-5)
+    np.testing.assert_allclose(float(loss_n), float(loss_x), rtol=1e-5)
+    for f in fields:
+        np.testing.assert_allclose(
+            np.asarray(g_n[f]), np.asarray(g_x[f]), atol=3e-4,
+            err_msg=f"grad mismatch on {f}")
+
+
 def test_adc_strategy_defaults_pairing():
     """r4 ADC leg saturated cap_max in 1.3K iters: the scale2d split was on
     by default and absgrad ran against the signed-grad threshold. Classic
