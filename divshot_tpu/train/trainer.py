@@ -135,7 +135,8 @@ def _structure_key(cfg: TrainConfig) -> TrainConfig:
 def make_train_step(cfg: TrainConfig, dataset: Dataset,
                     render_kwargs: dict[str, Any] | None = None,
                     batch_size: int = 1, res_scale: int = 1,
-                    streamed: bool = False) -> Callable:
+                    streamed: bool = False,
+                    grad_psum_axis: str | None = None) -> Callable:
     """Build the (state, view_idx) -> (state, metrics) step function.
 
     ``view_idx`` is () for batch_size=1 or (B,) for batched steps; the batch
@@ -363,10 +364,52 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
         fields = {f: getattr(state.params, f) for f in PARAM_FIELDS}
         zeros2 = jnp.zeros((cap, 2), jnp.float32)
         zeros1 = jnp.zeros((cap,), jnp.float32)
+
+        if grad_psum_axis is not None:
+            # early cross-chip reduction of the SH gradients: identity in
+            # the forward, pmean in the backward. The SH grads are final
+            # right after the rasterizer color-grad segment reduce — long
+            # before the projection backward of means/covariances — so
+            # this all-reduce (~60% of gradient bytes at sh_degree 3)
+            # overlaps the rest of the backward on real hardware
+            # (runs/dist_overlap_note.md; BASELINE north star).
+            @jax.custom_vjp
+            def _gate(x):
+                return x
+
+            def _gate_fwd(x):
+                return x, None
+
+            def _gate_bwd(_, g):
+                return (jax.lax.pmean(g, grad_psum_axis),)
+
+            _gate.defvjp(_gate_fwd, _gate_bwd)
+            inner_loss_fn = loss_fn
+
+            def loss_fn(fields, bg_p, abs_sink, m2d_sink, npix_sink):
+                fields = {**fields, "sh0": _gate(fields["sh0"]),
+                          "shN": _gate(fields["shN"])}
+                return inner_loss_fn(fields, bg_p, abs_sink, m2d_sink,
+                                     npix_sink)
+
         (loss, (img, radii, n_inst, max_tc)), grads = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2, 3, 4), has_aux=True)(
                 fields, bg_p, zeros2, zeros2, zeros1)
         g_fields, g_bg, g_abs, g_m2d, g_npix = grads
+        if grad_psum_axis is not None:
+            # remaining grads + stats reduce at the end (sh0/shN already
+            # reduced by the early gate)
+            g_fields = {k: (v if k in ("sh0", "shN")
+                            else jax.lax.pmean(v, grad_psum_axis))
+                        for k, v in g_fields.items()}
+            g_bg = jax.lax.pmean(g_bg, grad_psum_axis)
+            g_abs = jax.lax.pmean(g_abs, grad_psum_axis)
+            g_m2d = jax.lax.pmean(g_m2d, grad_psum_axis)
+            g_npix = jax.lax.pmean(g_npix, grad_psum_axis)
+            loss = jax.lax.pmean(loss, grad_psum_axis)
+            radii = jax.lax.pmax(radii, grad_psum_axis)
+            n_inst = jax.lax.pmax(n_inst, grad_psum_axis)
+            max_tc = jax.lax.pmax(max_tc, grad_psum_axis)
         if batched:
             img = img[0]
             radii = jnp.max(radii, axis=0)  # visible in any view of the batch
@@ -430,9 +473,12 @@ def make_train_step(cfg: TrainConfig, dataset: Dataset,
                       - lr_bg * mu / (jnp.sqrt(nu) + 1e-8),
                       "mu": mu, "nu": nu}
 
+        psnr_val = psnr(img, gt)
+        if grad_psum_axis is not None:
+            psnr_val = jax.lax.pmean(psnr_val, grad_psum_axis)
         metrics = {
             "loss": loss,
-            "psnr": psnr(img, gt),
+            "psnr": psnr_val,
             "num_alive": jnp.sum(params.alive.astype(jnp.int32)),
             # capacity diagnostics: demanded (tile|depth) instances vs the
             # static buffers — overflow means binning silently dropped work
