@@ -242,12 +242,14 @@ def prep_gdata(means2d, conics, depths, radii, radii_xy, rad2, colors,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "tile_size", "instance_capacity",
-                     "mt", "nch", "interpret"))
+                     "mt", "nch", "interpret", "guard_lanes",
+                     "ride_features"))
 def expand_sorted(
     means2d, conics, depths, radii, radii_xy, rad2, colors, opacities,
     *, width: int, height: int, tile_size: int = 16,
     instance_capacity: int = 1 << 20, mt: int = 64, nch: int | None = None,
     interpret: bool = False, guard_lanes: int = 2048,
+    ride_features: bool = False,
 ) -> SortedBins:
     """Full binning: expand -> (tile|depth) sort with features riding as
     payload -> per-tile ranges. Replaces ``tiles.bin_gaussians`` +
@@ -302,24 +304,40 @@ def expand_sorted(
     )(gs8, meta, gdata)
 
     key = out[0]
-    feat_rows = 6 + nch                        # u v a b c logop ch...
-    sorted_ops = jax.lax.sort(
-        (key, out[1]) + tuple(out[2 + r] for r in range(feat_rows)),
-        num_keys=1)
-    s_key = sorted_ops[0]
-    s_owner = sorted_ops[1].astype(jnp.int32)
-    table = jax.lax.bitcast_convert_type(
-        jnp.stack(sorted_ops[2:], axis=0), jnp.float32)
+    if ride_features:
+        # features ride the sort as payload — NO post-sort gather. Each
+        # ridden word costs ~9 ms at 2^23 (the earlier "payload cost
+        # saturates" measurement was DCE of unused outputs), so this wins
+        # only when the gather alternative is slower (huge N).
+        feat_rows = 6 + nch                    # u v a b c logop ch...
+        sorted_ops = jax.lax.sort(
+            (key, out[1]) + tuple(out[2 + r] for r in range(feat_rows)),
+            num_keys=1)
+        s_key = sorted_ops[0]
+        s_owner = sorted_ops[1].astype(jnp.int32)
+        table = jax.lax.bitcast_convert_type(
+            jnp.stack(sorted_ops[2:], axis=0), jnp.float32)
 
-    from divshot_tpu.raster.pallas_raster import _feat_rows, LOGOP_FLOOR
-    pad_rows = _feat_rows(nch) - feat_rows
-    if pad_rows:
-        table = jnp.concatenate(
-            [table, jnp.zeros((pad_rows, cap), jnp.float32)], axis=0)
-    # dead lanes must carry a dead log-opacity (kernel reads through them
-    # in partial blocks)
-    dead = s_key == jnp.uint32(0xFFFFFFFF)
-    table = table.at[5].set(jnp.where(dead, LOGOP_FLOOR, table[5]))
+        from divshot_tpu.raster.pallas_raster import _feat_rows, \
+            LOGOP_FLOOR
+        pad_rows = _feat_rows(nch) - feat_rows
+        if pad_rows:
+            table = jnp.concatenate(
+                [table, jnp.zeros((pad_rows, cap), jnp.float32)], axis=0)
+        # dead lanes must carry a dead log-opacity (kernel reads through
+        # them in partial blocks)
+        dead = s_key == jnp.uint32(0xFFFFFFFF)
+        table = table.at[5].set(jnp.where(dead, LOGOP_FLOOR, table[5]))
+    else:
+        # default: 2-payload sort + one gather from the SMALL (rows, N)
+        # per-gaussian feature matrix — cheaper than riding ~9 words
+        # through the sort (gather scales with N, riding with capacity)
+        s_key, s_own_u = jax.lax.sort((key, out[1]), num_keys=1)
+        s_owner = s_own_u.astype(jnp.int32)
+        from divshot_tpu.raster.pallas_raster import build_feature_table
+        inst = jnp.where(s_key == jnp.uint32(0xFFFFFFFF), -1, s_owner)
+        table = build_feature_table(means2d, conics, colors, opacities,
+                                    inst)
 
     s_tile = jnp.minimum((s_key >> depth_bits).astype(jnp.int32), num_tiles)
     tile_bounds = jnp.searchsorted(
@@ -333,7 +351,8 @@ def expand_sorted(
 
 
 def reduce_grads_sorted(grads, bnd, tile_start, s_owner, g_offsets,
-                        g_counts, nch: int = 3):
+                        g_counts, nch: int = 3, pack_grads: bool = False,
+                        with_absgrad: bool = True):
     """Per-instance grads (sorted order) -> per-gaussian sums.
 
     Scatter-free: boundary blocks are added at tile starts, grads beyond
@@ -361,10 +380,22 @@ def reduce_grads_sorted(grads, bnd, tile_start, s_owner, g_offsets,
     g = jnp.where(live[None, :], g, 0.0)
     okey = jnp.where(s_owner >= 0, s_owner, 0x7FFFFFFF).astype(jnp.uint32)
 
+    # only REAL grad rows ride the sort (each ridden word costs ~9 ms at
+    # 2^23 — the padding rows and, for MCMC, the zero |du|/|dv| absgrad
+    # rows would be pure waste). f16 pair-packing was tried and REVERTED:
+    # du/dv accumulate with heavy cancellation (terms ~1e3 summing to
+    # ~1e-1), so 10-bit mantissa per term corrupts the means gradient.
+    rows = list(range(6 + nch))                   # du dv da db dc dop dch..
+    if with_absgrad:
+        rows += [6 + nch, 7 + nch]                # |du| |dv|
+    rows.append(8 + nch)                          # npix
     sorted_ops = jax.lax.sort(
-        (okey,) + tuple(g[r] for r in range(ngrad)), num_keys=1)
-    ge = jnp.stack(sorted_ops[1:], axis=0)          # expansion order
+        (okey,) + tuple(g[r] for r in rows), num_keys=1)
+    ge_rows = {r: sorted_ops[1 + i] for i, r in enumerate(rows)}
+    zero = jnp.zeros((icap,), jnp.float32)
+    ge = jnp.stack([ge_rows.get(r, zero) for r in range(9 + nch)], axis=0)
     S = jnp.cumsum(ge, axis=1)
+    ngrad = 9 + nch
 
     # end-of-segment prefix: E[g] = S[offsets[g] + counts[g] - 1]. For
     # counts==0 this equals S[offsets[g] - 1] (offsets repeat), so

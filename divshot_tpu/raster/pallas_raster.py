@@ -916,7 +916,8 @@ def _make_raster_binned(width: int, height: int, tile_size: int, nch: int,
             interpret=interpret, t_eps=t_eps, with_absgrad=with_absgrad)
         g = PB.reduce_grads_sorted(grads, bnd, bins.tile_start,
                                    bins.s_owner, bins.g_offsets,
-                                   bins.g_counts, nch=nch)
+                                   bins.g_counts, nch=nch,
+                                   with_absgrad=with_absgrad)
         d_bg = jnp.einsum("hwc,hw->c", g_img[..., :3], T_px)
         return (g["means2d"], g["conics"], g["colors"], g["opacity"],
                 d_bg, g["absgrad"], g["npix"], None, None, None, None)

@@ -231,13 +231,24 @@ def render(
                         bins.num_instances, max_tile_count)
 
 
+def _pallas_bin_mod():
+    from divshot_tpu.raster import pallas_bin
+    return pallas_bin
+
+
 class FastBins(NamedTuple):
     """Prepared per-frame state ``render_fast`` can reuse while the camera
     and splats are static (the viewer's dominant regime — the reference's
-    editor resorts per frame only because its params stream in live)."""
+    editor resorts per frame only because its params stream in live).
+
+    ``token``: caller-supplied generation stamp. Pass the same
+    ``params_token`` to ``render_fast`` on reuse — a mismatch raises,
+    catching the stale-bins bug (params updated, bins not re-built) at the
+    call site instead of silently rendering stale geometry."""
     table: jax.Array
     tile_start: jax.Array
     num_instances: jax.Array
+    token: int | None = None
 
 
 def render_fast(
@@ -246,24 +257,27 @@ def render_fast(
     *,
     sh_degree: int | None = None,
     background: jax.Array | None = None,
-    tile_size: int = 8,
+    tile_size: int = 16,
     instance_capacity: int = 1 << 23,
-    max_tiles_per_gaussian: int = 256,
+    max_tiles_per_gaussian: int = 64,
     eps2d: float = 0.3,
     antialiased: bool = False,
     bins: FastBins | None = None,
     t_eps: float = 1e-4,
+    binning: str = "pallas",
+    params_token: int | None = None,
 ) -> tuple[jax.Array, jax.Array, FastBins]:
     """Inference-only viewer path: -> (image, alpha, FastBins).
 
     Differences from ``render``: forward kernel only (no VJP residuals, no
-    gradient bookkeeping), 8x8 tiles (the per-instance pixel work falls
-    4x while tight-culled instances only grow ~2.5x — a ~1.6x net element
-    cut that the backward path can't afford because its grad-table bytes
-    scale with instances), and the (table, tile ranges) can be passed back
-    in while the scene/camera are static so repeat frames run ONLY the
-    compositing kernel — the analog of the reference viewer's
-    sort-then-raster split (``renderer/gaussian.cpp:272-502``)."""
+    gradient bookkeeping), Pallas one-hot expansion binning (r5 — the
+    moving-camera path re-bins every frame, so binning cost IS the frame
+    cost), and the (table, tile ranges) can be passed back in while the
+    scene/camera are static so repeat frames run ONLY the compositing
+    kernel — the analog of the reference viewer's sort-then-raster split
+    (``renderer/gaussian.cpp:272-502``). Stale-bins guard: pass
+    ``params_token`` (any int the caller bumps on each param update);
+    reusing bins built under a different token raises ValueError."""
     from divshot_tpu.raster import pallas_raster as _pr
     from divshot_tpu.splat.math import safe_normalize
     if sh_degree is None:
@@ -271,24 +285,45 @@ def render_fast(
     if background is None:
         background = jnp.zeros((3,), jnp.float32)
 
+    if bins is not None and not isinstance(bins.token, jax.core.Tracer) \
+            and bins.token != params_token:
+        raise ValueError(
+            f"stale FastBins: bins were built under params_token="
+            f"{bins.token!r} but the caller now passes {params_token!r}; "
+            f"re-bin after updating splat params (pass bins=None)")
+
     if bins is None:
         opac_raw = params.effective_opacity()
         proj = project_gaussians(
             params.means, params.scales, params.quats, camera,
             eps2d=eps2d, antialiased=antialiased, opacities=opac_raw)
-        b = _tiles.bin_gaussians(
-            proj.means2d, proj.depths, proj.radii,
-            camera.width, camera.height, tile_size=tile_size,
-            instance_capacity=instance_capacity,
-            max_tiles_per_gaussian=max_tiles_per_gaussian,
-            build_ids_mat=False, radii_xy=proj.radii_xy, rad2=proj.rad2)
         dirs = safe_normalize(params.means - camera.campos[None, :])
         colors = eval_sh_color(params.sh0, params.shN, dirs, sh_degree)
         opac = opac_raw * proj.comp
-        table = _pr.build_feature_table(proj.means2d, proj.conics, colors,
-                                        opac, b.inst_gauss)
-        bins = FastBins(table=table, tile_start=b.tile_start,
-                        num_instances=b.num_instances)
+        if binning == "pallas":
+            sb = _pallas_bin_mod().expand_sorted(
+                proj.means2d, proj.conics, proj.depths, proj.radii,
+                proj.radii_xy, proj.rad2, colors, opac,
+                width=camera.width, height=camera.height,
+                tile_size=tile_size, instance_capacity=instance_capacity,
+                mt=min(max_tiles_per_gaussian, 256),
+                interpret=jax.default_backend() != "tpu")
+            bins = FastBins(table=sb.table, tile_start=sb.tile_start,
+                            num_instances=sb.num_instances,
+                            token=params_token)
+        else:
+            b = _tiles.bin_gaussians(
+                proj.means2d, proj.depths, proj.radii,
+                camera.width, camera.height, tile_size=tile_size,
+                instance_capacity=instance_capacity,
+                max_tiles_per_gaussian=max_tiles_per_gaussian,
+                build_ids_mat=False, radii_xy=proj.radii_xy,
+                rad2=proj.rad2)
+            table = _pr.build_feature_table(proj.means2d, proj.conics,
+                                            colors, opac, b.inst_gauss)
+            bins = FastBins(table=table, tile_start=b.tile_start,
+                            num_instances=b.num_instances,
+                            token=params_token)
 
     interp = jax.default_backend() != "tpu"
     out = _pr.rasterize_forward(

@@ -41,20 +41,20 @@ BLK = 2048           # indices per grid step
 
 def make_kernel(mode):
     def kernel(tab_ref, idx_ref, out_ref):
-        idx = idx_ref[...]                        # (1, BLK) i32
+        idx = idx_ref[...].reshape(1, BLK)        # (1, BLK) i32
         if mode == "fancy_rows":
             # gather rows of (R, 8): out (BLK, 8)
-            out_ref[...] = tab_ref[idx[0], :]
+            out_ref[0] = tab_ref[idx[0], :]
         elif mode == "take_rows":
-            out_ref[...] = jnp.take(tab_ref[...], idx[0], axis=0)
+            out_ref[0] = jnp.take(tab_ref[...], idx[0], axis=0)
         elif mode == "lane_gather":
             # table (8, R) lanes-major; gather along lanes: out (8, BLK)
             tab = tab_ref[...]
-            out_ref[...] = jnp.take(tab, idx[0], axis=1)
+            out_ref[0] = jnp.take(tab, idx[0], axis=1)
         elif mode == "take_along":
             tab = tab_ref[...]                    # (8, R)
             ii = jnp.broadcast_to(idx, (8, BLK))
-            out_ref[...] = jnp.take_along_axis(tab, ii, axis=1)
+            out_ref[0] = jnp.take_along_axis(tab, ii, axis=1)
     return kernel
 
 
@@ -64,7 +64,7 @@ def try_mode(mode):
     out_shape = (BLK, 8) if rows_major else (8, BLK)
     rng = np.random.default_rng(0)
     tab = jnp.asarray(rng.standard_normal(tab_shape), jnp.float32)
-    idx = jnp.asarray(rng.integers(0, R, (I // BLK, BLK)), jnp.int32)
+    idx = jnp.asarray(rng.integers(0, R, (I // BLK, 8, BLK // 8)), jnp.int32)
 
     grid = (I // BLK,)
     fn = pl.pallas_call(
@@ -73,7 +73,7 @@ def try_mode(mode):
         in_specs=[
             pl.BlockSpec(tab_shape, lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLK), lambda i: (i, 0),
+            pl.BlockSpec((1, 8, BLK // 8), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
@@ -82,8 +82,7 @@ def try_mode(mode):
     )
 
     def wrapped(tab, idx):
-        out = fn(tab, idx.reshape(I // BLK, BLK))
-        return out
+        return fn(tab, idx)
 
     # correctness
     out = np.asarray(jax.jit(wrapped)(tab, idx))

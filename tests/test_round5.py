@@ -106,6 +106,25 @@ def test_pallas_binned_render_parity():
             err_msg=f"grad mismatch on {f}")
 
 
+def test_render_fast_stale_bins_guard():
+    """Reusing FastBins after a params update (token bump) must raise —
+    the silent-stale-geometry bug from VERDICT r4 weak #6."""
+    import pytest as _pytest
+    from divshot_tpu.raster.render import render_fast
+
+    params, cam = _small_scene()
+    img, alpha, bins = render_fast(params, cam, instance_capacity=1 << 13,
+                                   params_token=1)
+    # same token: reuse OK (and bit-identical)
+    img2, _, _ = render_fast(params, cam, bins=bins,
+                             instance_capacity=1 << 13, params_token=1)
+    np.testing.assert_array_equal(np.asarray(img), np.asarray(img2))
+    # bumped token (params changed): stale bins must be rejected
+    with _pytest.raises(ValueError, match="stale FastBins"):
+        render_fast(params, cam, bins=bins, instance_capacity=1 << 13,
+                    params_token=2)
+
+
 def test_overlap_step_matches_serial():
     """shard_map early-psum step (dist/overlap.py) must match the serial
     batched step's loss and parameter update to float tolerance, and its
