@@ -36,9 +36,12 @@ def ray_occluded(origins: jax.Array,      # (M, 3)
                  dirs: jax.Array,         # (M, 3) normalized
                  positions: jax.Array,    # (V, 3)
                  faces: jax.Array,        # (F, 3)
-                 *, t_min: float = 1e-3, chunk: int = 256) -> jax.Array:
-    """-> (M,) bool: does any triangle block the ray beyond t_min?
-    Möller–Trumbore, scanned over face chunks (static shapes)."""
+                 *, t_min: float = 1e-3, chunk: int = 256,
+                 t_max: jax.Array | None = None) -> jax.Array:
+    """-> (M,) bool: does any triangle block the ray in (t_min, t_max)?
+    Möller–Trumbore, scanned over face chunks (static shapes). ``t_max``
+    (scalar or (M,)) bounds shadow rays toward area/point lights (gi.py);
+    None = unbounded."""
     F = faces.shape[0]
     pad = (-F) % chunk
     tri = positions[faces]                               # (F, 3, 3)
@@ -60,6 +63,9 @@ def ray_occluded(origins: jax.Array,      # (M, 3)
         t = jnp.sum(e2[None] * q, axis=-1) * inv
         hit = ((jnp.abs(det) > 1e-12) & (u >= 0) & (v >= 0)
                & (u + v <= 1) & (t > t_min))
+        if t_max is not None:
+            tm = t_max if jnp.ndim(t_max) == 0 else t_max[:, None]
+            hit = hit & (t < tm)
         return occ | jnp.any(hit, axis=1), None
 
     occ, _ = jax.lax.scan(step, jnp.zeros(origins.shape[0], bool), tri_c)
