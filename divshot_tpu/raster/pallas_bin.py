@@ -243,13 +243,13 @@ def prep_gdata(means2d, conics, depths, radii, radii_xy, rad2, colors,
     jax.jit,
     static_argnames=("width", "height", "tile_size", "instance_capacity",
                      "mt", "nch", "interpret", "guard_lanes",
-                     "ride_features"))
+                     "ride_features", "build_table"))
 def expand_sorted(
     means2d, conics, depths, radii, radii_xy, rad2, colors, opacities,
     *, width: int, height: int, tile_size: int = 16,
     instance_capacity: int = 1 << 20, mt: int = 64, nch: int | None = None,
     interpret: bool = False, guard_lanes: int = 2048,
-    ride_features: bool = False,
+    ride_features: bool = False, build_table: bool = True,
 ) -> SortedBins:
     """Full binning: expand -> (tile|depth) sort with features riding as
     payload -> per-tile ranges. Replaces ``tiles.bin_gaussians`` +
@@ -334,10 +334,14 @@ def expand_sorted(
         # through the sort (gather scales with N, riding with capacity)
         s_key, s_own_u = jax.lax.sort((key, out[1]), num_keys=1)
         s_owner = s_own_u.astype(jnp.int32)
-        from divshot_tpu.raster.pallas_raster import build_feature_table
-        inst = jnp.where(s_key == jnp.uint32(0xFFFFFFFF), -1, s_owner)
-        table = build_feature_table(means2d, conics, colors, opacities,
-                                    inst)
+        if build_table:
+            from divshot_tpu.raster.pallas_raster import \
+                build_feature_table
+            inst = jnp.where(s_key == jnp.uint32(0xFFFFFFFF), -1, s_owner)
+            table = build_feature_table(means2d, conics, colors,
+                                        opacities, inst)
+        else:
+            table = None         # caller builds its own (surfel path)
 
     s_tile = jnp.minimum((s_key >> depth_bits).astype(jnp.int32), num_tiles)
     tile_bounds = jnp.searchsorted(
@@ -348,6 +352,40 @@ def expand_sorted(
         table=table, tile_start=tile_bounds, s_owner=s_owner,
         g_offsets=offsets, g_counts=counts, num_instances=total,
         tile_counts=tile_bounds[1:] - tile_bounds[:-1])
+
+
+def segment_rows_sorted(grads, bnd, tile_start, s_owner, g_offsets,
+                        g_counts, rows):
+    """Generic owner-sorted segment reduce (the surfel path's variant of
+    ``reduce_grads_sorted``): fold boundary blocks, zero dead lanes, ride
+    the selected grad ``rows`` through ONE owner-keyed sort back to
+    expansion order, cumsum + end-of-segment diff.
+
+    -> (len(rows), N) per-gaussian sums, in ``rows`` order."""
+    from divshot_tpu.raster.pallas_raster import BLK
+    icap = grads.shape[1]
+    ngrad = grads.shape[0]
+    nb = icap // BLK
+    bidx = tile_start[:-1] // BLK
+    gm = grads.reshape(ngrad, nb, BLK)
+    gm = gm.at[:, bidx].add(bnd.transpose(1, 0, 2), mode="drop")
+    g = gm.reshape(ngrad, icap)
+
+    iota = jnp.arange(icap, dtype=jnp.int32)
+    live = iota < tile_start[-1]
+    g = jnp.where(live[None, :], g, 0.0)
+    okey = jnp.where(s_owner >= 0, s_owner, 0x7FFFFFFF).astype(jnp.uint32)
+    sorted_ops = jax.lax.sort(
+        (okey,) + tuple(g[r] for r in rows), num_keys=1)
+    ge = jnp.stack(sorted_ops[1:], axis=0)
+    S = jnp.cumsum(ge, axis=1)
+    hi_raw = g_offsets + g_counts - 1
+    nr = len(rows)
+    E = jnp.where((hi_raw >= 0)[None, :],
+                  jnp.take(S, jnp.clip(hi_raw, 0, icap - 1), axis=1), 0.0)
+    Eprev = jnp.concatenate(
+        [jnp.zeros((nr, 1), S.dtype), E[:, :-1]], axis=1)
+    return jnp.where((g_counts > 0)[None, :], E - Eprev, 0.0)
 
 
 def reduce_grads_sorted(grads, bnd, tile_start, s_owner, g_offsets,

@@ -523,7 +523,7 @@ def _make_surfel_raster(width: int, height: int, tile_size: int, nch: int,
     @jax.custom_vjp
     def raster(Tmat, zplane, center2d, opacities, colors, background,
                absgrad_sink, means2d_sink, npix_sink, inst_gauss,
-               tile_start, exp2sorted, g_offsets, g_counts):
+               tile_start, s_owner, g_offsets, g_counts):
         _, out = _fwd_tiles(Tmat, zplane, center2d, opacities, colors,
                             inst_gauss, tile_start)
         rgb, extra, T_px = _split(out, background)
@@ -531,16 +531,16 @@ def _make_surfel_raster(width: int, height: int, tile_size: int, nch: int,
 
     def fwd(Tmat, zplane, center2d, opacities, colors, background,
             absgrad_sink, means2d_sink, npix_sink, inst_gauss, tile_start,
-            exp2sorted, g_offsets, g_counts):
+            s_owner, g_offsets, g_counts):
         table, out = _fwd_tiles(Tmat, zplane, center2d, opacities, colors,
                                 inst_gauss, tile_start)
         rgb, extra, T_px = _split(out, background)
-        res = (table, out, background, T_px, tile_start, exp2sorted,
+        res = (table, out, background, T_px, tile_start, s_owner,
                g_offsets, g_counts)
         return (rgb, 1.0 - T_px, extra), res
 
     def bwd(res, cot):
-        (table, out, background, T_px, tile_start, exp2sorted,
+        (table, out, background, T_px, tile_start, s_owner,
          g_offsets, g_counts) = res
         g_rgb, g_alpha, g_extra = cot
         g_T_img = g_alpha - jnp.einsum("hwc,c->hw", g_rgb, background)
@@ -552,8 +552,10 @@ def _make_surfel_raster(width: int, height: int, tile_size: int, nch: int,
         grads, bnd = surfel_backward(
             table, tile_start, cot_tiles, out, width=width, height=height,
             tile_size=tile_size, nch=nch, interpret=interpret, t_eps=t_eps)
-        seg = _segment_reduce(grads, bnd, tile_start, exp2sorted,
-                              g_offsets, g_counts)
+        from divshot_tpu.raster import pallas_bin as PB
+        seg = PB.segment_rows_sorted(grads, bnd, tile_start, s_owner,
+                                     g_offsets, g_counts,
+                                     rows=list(range(_row_ds(nch) + 5)))
         n = seg.shape[1]
         d_bg = jnp.einsum("hwc,hw->c", g_rgb, T_px)
         rds = _row_ds(nch)
@@ -623,15 +625,16 @@ def render_surfels_pallas(
     if instance_capacity is None:
         instance_capacity = max(
             1 << 16, int(instance_capacity_mult * cap))
-    bins = _tiles.bin_gaussians(
-        jax.lax.stop_gradient(proj["center2d"]),
-        jax.lax.stop_gradient(proj["depths"]),
-        jax.lax.stop_gradient(proj["radii"]),
-        camera.width, camera.height,
-        tile_size=tile_size,
+    from divshot_tpu.raster import pallas_bin as PB
+    sg = jax.lax.stop_gradient
+    bins = PB.expand_sorted(
+        sg(proj["center2d"]), jnp.zeros((cap, 3), jnp.float32),
+        sg(proj["depths"]), sg(proj["radii"]), None, None,
+        jnp.zeros((cap, 0), jnp.float32), jnp.ones((cap,), jnp.float32),
+        width=camera.width, height=camera.height, tile_size=tile_size,
         instance_capacity=instance_capacity,
-        max_tiles_per_gaussian=max_tiles_per_gaussian,
-        build_ids_mat=False)
+        mt=min(max_tiles_per_gaussian, 256), nch=0,
+        interpret=interpret, build_table=False)
 
     if absgrad_sink is None:
         absgrad_sink = jnp.zeros((cap, 2), jnp.float32)
@@ -645,7 +648,7 @@ def render_surfels_pallas(
     rgb, alpha, extra = fn(
         proj["Tmat"], proj["zplane"], proj["center2d"], opac, colors,
         background, absgrad_sink, means2d_sink, npix_sink,
-        bins.inst_gauss, bins.tile_start, bins.exp2sorted, bins.g_offsets,
+        bins.s_owner, bins.tile_start, bins.s_owner, bins.g_offsets,
         bins.g_counts)
 
     proj_out = Projection(
