@@ -168,12 +168,14 @@ def _expand_kernel(gs8_ref, meta_ref, gdata_hbm, out_ref, gscr, gsem,
     in_range = (i_col < total) & (j_local >= 0) & (j_local < counts)
     valid = in_range & near
 
-    d19 = (top24 >> 5).astype(jnp.uint32)          # dbits >> 13, 19 bits
+    # use every available depth bit: the key's depth field is depth_bits
+    # wide and we transport the top 24 bits of the depth pattern
+    db = min(depth_bits, 24)
+    dval = (top24 >> (24 - db)).astype(jnp.uint32)
     key = jnp.where(
         valid,
         (tile.astype(jnp.uint32) << depth_bits)
-        | (d19 >> (19 - depth_bits) if depth_bits < 19
-           else d19 << (depth_bits - 19)),
+        | (dval << (depth_bits - db)),
         jnp.uint32(0xFFFFFFFF))
     owner_out = jnp.where(in_range, owner, jnp.int32(0x7FFFFFFF))
 
