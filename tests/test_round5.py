@@ -106,6 +106,63 @@ def test_pallas_binned_render_parity():
             err_msg=f"grad mismatch on {f}")
 
 
+def test_reduce_grads_sorted_matches_r4_reduce():
+    """Owner-sorted segment reduce == the r4 permutation+cumsum reduce on
+    random grads over a real binning (culled gaussians, corner-culled
+    instances, capacity padding all present)."""
+    import jax
+    import jax.numpy as jnp
+    from divshot_tpu.raster import tiles as T
+    from divshot_tpu.raster import pallas_bin as PB
+    from divshot_tpu.raster import pallas_raster as PR
+    from divshot_tpu.raster.project import project_gaussians
+    from divshot_tpu.splat.sh import eval_sh_color
+    from divshot_tpu.splat.math import safe_normalize
+
+    params, cam = _small_scene(n=200, seed=5)
+    proj = project_gaussians(params.means, params.scales, params.quats,
+                             cam, opacities=params.effective_opacity())
+    dirs = safe_normalize(params.means - cam.campos[None, :])
+    colors = eval_sh_color(params.sh0, params.shN, dirs, 1)
+    opac = params.effective_opacity() * proj.comp
+    cap_i = 1 << 13
+
+    bins_old = T.bin_gaussians(
+        proj.means2d, proj.depths, proj.radii, cam.width, cam.height,
+        instance_capacity=cap_i, build_ids_mat=False,
+        radii_xy=proj.radii_xy, rad2=proj.rad2)
+    bins_new = PB.expand_sorted(
+        proj.means2d, proj.conics, proj.depths, proj.radii, proj.radii_xy,
+        proj.rad2, colors, opac, width=cam.width, height=cam.height,
+        instance_capacity=cap_i, interpret=True)
+    # identical sorted order over the REAL instances (padding uses -1 in
+    # the old path vs 0x7FFFFFFF in the new) after the depth-bits fix ->
+    # the same grad table applies to both reduces
+    n_real = int(bins_old.tile_start[-1])
+    np.testing.assert_array_equal(
+        np.asarray(bins_old.inst_gauss)[:n_real],
+        np.asarray(bins_new.s_owner)[:n_real])
+
+    rng = np.random.default_rng(7)
+    ngrad = PR._ngrad_rows(1)
+    grads = jnp.asarray(rng.standard_normal((ngrad, cap_i)), jnp.float32)
+    tw = (cam.width + 15) // 16
+    th = (cam.height + 15) // 16
+    bnd = jnp.asarray(rng.standard_normal((tw * th, ngrad, PR.BLK)) * 0.1,
+                      jnp.float32)
+
+    g_old = PR.reduce_instance_grads(
+        grads, bnd, bins_old.tile_start, bins_old.exp2sorted,
+        bins_old.g_offsets, bins_old.g_counts, nch=1)
+    g_new = PB.reduce_grads_sorted(
+        grads, bnd, bins_new.tile_start, bins_new.s_owner,
+        bins_new.g_offsets, bins_new.g_counts, nch=1)
+    for k in ("means2d", "conics", "colors", "opacity", "absgrad", "npix"):
+        np.testing.assert_allclose(np.asarray(g_new[k]),
+                                   np.asarray(g_old[k]), atol=2e-4,
+                                   err_msg=f"reduce mismatch on {k}")
+
+
 def test_render_fast_stale_bins_guard():
     """Reusing FastBins after a params update (token bump) must raise —
     the silent-stale-geometry bug from VERDICT r4 weak #6."""
