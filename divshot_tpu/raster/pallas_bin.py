@@ -65,7 +65,7 @@ def _split3(x):
     return hi, mid, lo
 
 
-ROW_F32 = 11        # first f32 3-split channel row in gdata
+ROW_F32 = 12        # first f32 3-split channel row in gdata
 
 
 def _expand_kernel(gs8_ref, meta_ref, gdata_hbm, out_ref, gscr, gsem,
@@ -98,10 +98,15 @@ def _expand_kernel(gs8_ref, meta_ref, gdata_hbm, out_ref, gscr, gsem,
     j_lane = jax.lax.broadcasted_iota(jnp.int32, (1, J), 1)
     i_col = i0 + j_lane                                        # (1, J)
 
-    # exclusive offsets from their 8-bit components (exact ints in f32)
+    # exclusive offsets from their 7-bit components (each <= 127, exact in
+    # bf16); reconstruction in INT32 — offsets reach ~2^25 at the 3M/2^24
+    # scale point, beyond f32's exact-integer range
     w = win.astype(jnp.float32)
-    offs_f = (w[:, 8:9] * 256.0 + w[:, 9:10]) * 256.0 + w[:, 10:11]
-    offs = offs_f.astype(jnp.int32)                            # (KW, 1)
+    o3 = w[:, 8:9].astype(jnp.int32)
+    o2 = w[:, 9:10].astype(jnp.int32)
+    o1 = w[:, 10:11].astype(jnp.int32)
+    o0 = w[:, 11:12].astype(jnp.int32)
+    offs = (((o3 << 7 | o2) << 7) | o1) << 7 | o0              # (KW, 1)
 
     # one-hot selection: C monotone non-increasing down k; D = C - C_next
     C = (offs <= i_col).astype(jnp.float32)                    # (KW, J)
@@ -217,27 +222,29 @@ def prep_gdata(means2d, conics, depths, radii, radii_xy, rad2, colors,
 
     int_rows = [counts, nx // 256, nx % 256, tmin_x, tmin_y,
                 top24 >> 16, (top24 >> 8) % 256, top24 % 256,
-                # exclusive offsets as 3 exact 8-bit components (< 2^24);
-                # padding rows get the max pattern so compares stay false
-                offsets >> 16, (offsets >> 8) % 256, offsets % 256]
+                # exclusive offsets as 4 exact 7-bit components (< 2^28 —
+                # the 3M scale point reaches ~2^25 instances); padding
+                # rows get the max pattern so compares stay false
+                offsets >> 21, (offsets >> 14) % 128,
+                (offsets >> 7) % 128, offsets % 128]
     f32_chans = [u, v, conics[:, 0], conics[:, 1], conics[:, 2], logop, r2]
     f32_chans += [colors[:, c] for c in range(nch)]
 
     rows = [r.astype(jnp.bfloat16) for r in int_rows]
     for ch in f32_chans:
         rows.extend(_split3(ch))
-    n_rows = len(rows)                       # 11 + 3*(7 + nch) <= 53
+    n_rows = len(rows)                       # 12 + 3*(7 + nch) <= 54
     assert n_rows <= 128
     gdata = jnp.stack(rows, axis=1)          # (N, n_rows) bf16
 
     npad = -(-n // 8) * 8 + KW
     gdata = jnp.pad(gdata, ((0, npad - n), (0, 128 - n_rows)))
-    # padding gaussians: offset components = 255 -> offs = 2^24 - 1 > any
+    # padding gaussians: offset components = 127 -> offs = 2^28 - 1 > any
     # real instance index, so they are never selected
     pad_mask = jnp.arange(npad) >= n
-    for r in (8, 9, 10):
+    for r in (8, 9, 10, 11):
         gdata = gdata.at[:, r].set(
-            jnp.where(pad_mask, jnp.bfloat16(255.0), gdata[:, r]))
+            jnp.where(pad_mask, jnp.bfloat16(127.0), gdata[:, r]))
     return gdata, counts, offsets, total, tw, th
 
 
