@@ -89,8 +89,14 @@ def main(argv=None):
 
     # instance buffers sized from RasterConfig (instance_capacity_mult x
     # cap_max) by Trainer._build_steps — a fixed literal here silently
-    # overflows at reference-scale cap_max (round-2 weak #6)
-    trainer = Trainer(cfg, ds, params, render_kwargs={"backend": "pallas"})
+    # overflows at reference-scale cap_max (round-2 weak #6).
+    # Backend is model-type aware: forcing "pallas" for modelType=1 made
+    # r4's 2DGS leg train through the flattened-3D approximation AND eval
+    # the raw params as thick 3D slabs (train PSNR 30.7 vs eval 18.2 —
+    # the whole r4 "2DGS quality gap" was this eval-path bug).
+    backend = "surfel_pallas" if cfg.model_type == ModelType.GS2D \
+        else "pallas"
+    trainer = Trainer(cfg, ds, params, render_kwargs={"backend": backend})
 
     # resume (reference: create_splat(config, load_itr))
     load_itr = getattr(cfg, "load_itr", -1)
@@ -170,7 +176,13 @@ def main(argv=None):
     # final save
     CK.save_checkpoint(model_path, trainer.state, step=int(cfg.num_iters))
     out_ply = os.path.join(model_path, "point_cloud.ply")
-    P.save_ply(out_ply, trainer.state.params,
+    save_params = trainer.state.params
+    if cfg.model_type == ModelType.GS2D:
+        # persist the surfel convention: third axis at the flat log-scale,
+        # so the PLY renders identically through any 3DGS consumer
+        from divshot_tpu.train.geometry import flatten_to_surfels
+        save_params = flatten_to_surfels(save_params)
+    P.save_ply(out_ply, save_params,
                antialiased=cfg.raster.mip_antialiased)
     print(f"saved {out_ply}")
 

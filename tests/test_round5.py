@@ -273,3 +273,33 @@ def test_adc_strategy_defaults_pairing():
     cfg4 = auto_tune_config(config_from_flags(["--source_path", "x"]), 100)
     assert cfg4.densify.strategy == DensifyStrategy.MCMC
     assert cfg4.densify.grow_grad2d == pytest.approx(2e-4)
+
+
+def test_surfel_eval_ignores_third_scale_axis():
+    """r4's 2DGS leg trained to 30.7 dB (train) but evaluated at 18.2: the
+    CLI forced backend=pallas, so eval rendered the RAW params as thick 3D
+    slabs (the third log-scale stays at init under the surfel path). The
+    fix routes modelType=1 through the surfel backends end-to-end; this
+    locks the property that makes eval-on-raw-params correct — the surfel
+    renderer's output is invariant to the raw third scale axis — and that
+    a 3D render of the same raw params is NOT (the r4 failure mode)."""
+    import jax.numpy as jnp
+    from divshot_tpu.raster.render import render
+    from tests.test_surfel import make_surfel_scene
+
+    params, cam = make_surfel_scene(seed=3, n=40, size=32)
+    # raw params with a fat third axis (as left behind by training)
+    fat = params.replace(scales=params.scales.at[:, 2].set(np.log(0.5)))
+
+    rk = dict(tile_size=16, instance_capacity=4096)
+    img_raw = render(fat, cam, backend="surfel", **rk).image
+    img_flat = render(params.replace(
+        scales=params.scales.at[:, 2].set(np.log(1e-6))), cam,
+        backend="surfel", **rk).image
+    np.testing.assert_allclose(np.asarray(img_raw), np.asarray(img_flat),
+                               atol=1e-5)
+
+    # the 3D path over the same raw params differs grossly — the bug this
+    # guards against was exactly this mismatch reaching eval
+    img_3d = render(fat, cam, backend="tiles", **rk).image
+    assert float(jnp.mean(jnp.abs(img_3d - img_raw))) > 1e-3
