@@ -94,7 +94,8 @@ def main(argv=None):
     # r4's 2DGS leg train through the flattened-3D approximation AND eval
     # the raw params as thick 3D slabs (train PSNR 30.7 vs eval 18.2 —
     # the whole r4 "2DGS quality gap" was this eval-path bug).
-    backend = "surfel_pallas" if cfg.model_type == ModelType.GS2D \
+    surfel2d = cfg.model_type == ModelType.GS2D
+    backend = "surfel_pallas" if (surfel2d and cfg.surfel_exact) \
         else "pallas"
     trainer = Trainer(cfg, ds, params, render_kwargs={"backend": backend})
 
@@ -134,7 +135,15 @@ def main(argv=None):
     def run_eval(step):
         if eval_ds is None:
             return None
-        ev = evaluate(trainer.state.params, eval_ds,
+        p_eval = trainer.state.params
+        if surfel2d and not cfg.surfel_exact:
+            # flattened mode renders through the 3D kernels: eval must use
+            # the surfel convention (third axis clamped), exactly as the
+            # train step does — evaluating the raw params as 3D slabs was
+            # the r4 quality-gap bug
+            from divshot_tpu.train.geometry import flatten_to_surfels
+            p_eval = flatten_to_surfels(p_eval)
+        ev = evaluate(p_eval, eval_ds,
                       render_kwargs=eval_rk(), background=bg)
         entry = {"step": step, "psnr": ev["psnr"], "ssim": ev["ssim"],
                  "num_alive": int(np.asarray(jnp.sum(

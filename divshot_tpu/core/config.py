@@ -117,6 +117,15 @@ class TrainConfig:
 
     # model
     model_type: int = ModelType.GS3D
+    # GS2D rasterization mode: exact ray-splat intersection kernels
+    # (pallas_surfel) vs the flattened-3D approximation (third scale axis
+    # clamped to FLAT_LOG_SCALE, shared EWA kernels). Exact is the default;
+    # the flattened path exists because the surfel train-step's XLA:TPU
+    # compile is pathologically slow on the axon remote-compile service
+    # (>25 min at ANY scale, measured round 5 — see runs/QUALITY_r05.md),
+    # while the flattened-mode programs compile in minutes and train to
+    # equivalent photometric quality (30.7 dB train PSNR, r4 leg).
+    surfel_exact: bool = True
     sh_degree: int = 3
     sh_degree_interval: int = 1000    # raise active SH degree every N iters
     enable_bg: bool = False           # separate sky/background model
@@ -242,6 +251,7 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         "normal_consistency_loss": "normal_consistency_loss",
         "dist_loss_weight": "dist_loss_weight",
         "model_type": "model_type",
+        "surfel_exact": "surfel_exact",
         "packLevel": "pack_level",
         "pack_level": "pack_level",
         "pixel_grad_scale": "pixel_grad_scale",
