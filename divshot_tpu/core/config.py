@@ -216,7 +216,18 @@ def auto_tune_config(cfg: TrainConfig, num_images: int) -> TrainConfig:
         d = dataclasses.replace(
             d, grow_grad2d=keep(cfg.densify.grow_grad2d,
                                 defaults.densify.grow_grad2d, 0.0008))
-    return dataclasses.replace(cfg, num_iters=num_iters, densify=d)
+    out = dataclasses.replace(cfg, num_iters=num_iters, densify=d)
+    # flattened-GS2D pairing: the 2DGS normal-consistency term is stable
+    # against the exact ray-splat intersection normals, but through the
+    # flattened-EWA approximation (surfel_exact=0) its gradient is
+    # runaway-unstable once it activates — measured r5: eval 30.2 dB at
+    # 6K collapsed to 18.5 train PSNR by 9K with lambda_n=0.05 from 7K.
+    # Default it off in that mode; an explicit user value always wins.
+    if out.model_type == ModelType.GS2D and not out.surfel_exact:
+        out = dataclasses.replace(
+            out, normal_loss_weight=keep(cfg.normal_loss_weight,
+                                         defaults.normal_loss_weight, 0.0))
+    return out
 
 
 def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
@@ -249,7 +260,10 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
         "mip_antialiased": "raster.mip_antialiased",
         "instance_capacity_mult": "raster.instance_capacity_mult",
         "normal_consistency_loss": "normal_consistency_loss",
+        "normal_loss_weight": "normal_loss_weight",
+        "normal_start_iter": "normal_start_iter",
         "dist_loss_weight": "dist_loss_weight",
+        "dist_start_iter": "dist_start_iter",
         "model_type": "model_type",
         "surfel_exact": "surfel_exact",
         "packLevel": "pack_level",
@@ -297,6 +311,14 @@ def config_from_flags(argv: list[str] | None = None) -> TrainConfig:
             p.add_argument(f"--{flag}", type=t, default=None)
     p.add_argument("--load_itr", type=int, default=None)
     ns, _unknown = p.parse_known_args(argv)
+    # unknown flags are tolerated for reference-CLI compatibility, but
+    # silently dropping a misspelled/unmapped knob is a footgun (r5: an
+    # unmapped --normal_loss_weight left the default active) — say so
+    bad = [u for u in _unknown if u.startswith("--")]
+    if bad:
+        import sys as _sys
+        print(f"[config] WARNING: ignoring unknown flags: {bad}",
+              file=_sys.stderr)
 
     def set_nested(obj, path, value):
         parts = path.split(".")

@@ -303,3 +303,23 @@ def test_surfel_eval_ignores_third_scale_axis():
     # guards against was exactly this mismatch reaching eval
     img_3d = render(fat, cam, backend="tiles", **rk).image
     assert float(jnp.mean(jnp.abs(img_3d - img_raw))) > 1e-3
+
+
+def test_flattened_gs2d_normal_loss_pairing():
+    """The normal-consistency term destabilizes the flattened-EWA GS2D
+    mode (r5: 30.2 dB @6K collapsed to 18.5 by 9K once it activated at
+    normal_start_iter). auto_tune zeroes it for surfel_exact=0 unless the
+    user asks; exact-kernel mode keeps the 2DGS default."""
+    cfg = auto_tune_config(config_from_flags(
+        ["--source_path", "x", "--model_type", "1",
+         "--surfel_exact", "0"]), 100)
+    assert cfg.normal_loss_weight == 0.0
+
+    cfg2 = auto_tune_config(config_from_flags(
+        ["--source_path", "x", "--model_type", "1"]), 100)
+    assert cfg2.normal_loss_weight == pytest.approx(0.05)
+
+    cfg3 = auto_tune_config(config_from_flags(
+        ["--source_path", "x", "--model_type", "1", "--surfel_exact", "0",
+         "--normal_loss_weight", "0.01"]), 100)
+    assert cfg3.normal_loss_weight == pytest.approx(0.01)
